@@ -1,0 +1,175 @@
+"""HTML main-content extraction: DOM parse + density heuristics.
+
+Analog of the reference's OCR text parse (Textract blocks → reading
+ordered markdown, ``lib/idp_common_pkg/idp_common/ocr/service.py:1603-1675``)
+restated for HTML transcript payloads: parse the DOM with the stdlib
+``html.parser``, split into leaf blocks, score each block with
+text-density and link-density heuristics (Kohlschuetter-style
+boilerplate detection), drop blocks under boilerplate containers
+(nav/header/footer/aside, ad/sidebar class hints), and emit the main
+content as newline-joined block texts plus per-block spans.
+
+Pure function of the input string — no globals, no locale, no
+wall-clock — so Spark partitioning cannot perturb the output.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Subtrees dropped entirely (never contribute text).
+_DROP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "iframe", "svg", "head", "title"}
+)
+# Structural containers that are boilerplate by tag semantics.
+_BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside"})
+# class/id hints that mark a container as boilerplate.
+_BOILERPLATE_HINT = re.compile(
+    r"(?:^|[\s_-])(?:ad|ads|advert\w*|banner|sidebar|menu|nav|footer|header|promo|"
+    r"cookie|popup|social|share|breadcrumb|related)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+# Elements that terminate/open a leaf block.
+_BLOCK_TAGS = frozenset(
+    {
+        "article", "section", "div", "p", "li", "ul", "ol", "h1", "h2", "h3",
+        "h4", "h5", "h6", "table", "tr", "td", "th", "blockquote", "pre",
+        "main", "figure", "figcaption", "br",
+    }
+)
+
+_WS = re.compile(r"\s+")
+
+# Tuning constants for the keep/drop decision (fixed — part of the
+# kernel contract; goldens depend on them).
+MAX_LINK_DENSITY = 0.33
+MIN_BLOCK_CHARS = 10
+MIN_TEXT_DENSITY = 8.0  # chars of text per descendant element
+
+
+class _Block:
+    __slots__ = ("tag", "parts", "link_chars", "n_elems", "boiler")
+
+    def __init__(self, tag: str, boiler: bool) -> None:
+        self.tag = tag
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.n_elems = 1
+        self.boiler = boiler
+
+    def text(self) -> str:
+        return _WS.sub(" ", "".join(self.parts)).strip()
+
+
+class _Extractor(HTMLParser):
+    """Single-pass block builder.
+
+    Maintains a tag stack; text data is appended to the current open
+    block.  A new block opens whenever a block-level tag starts while
+    text is already accumulated, or a block-level tag closes.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+        self._cur: _Block | None = None
+        # Stack of (tag, was_boilerplate_container, was_drop) for handling ends.
+        self._stack: list[tuple[str, bool, bool]] = []
+
+    # -- block lifecycle -------------------------------------------------
+    def _open_block(self, tag: str) -> None:
+        self._cur = _Block(tag, self._boiler_depth > 0)
+        self.blocks.append(self._cur)
+
+    def _close_block(self) -> None:
+        self._cur = None
+
+    # -- parser callbacks ------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        drop = tag in _DROP_TAGS
+        attr_text = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
+        boiler = tag in _BOILERPLATE_TAGS or bool(_BOILERPLATE_HINT.search(attr_text))
+        self._stack.append((tag, boiler, drop))
+        if drop:
+            self._drop_depth += 1
+            return
+        if boiler:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._close_block()
+            if tag != "br":
+                self._open_block(tag)
+        elif self._cur is not None:
+            self._cur.n_elems += 1
+
+    def handle_endtag(self, tag):
+        # Unwind to the matching open tag (HTML is forgiving).
+        while self._stack:
+            t, boiler, drop = self._stack.pop()
+            if drop:
+                self._drop_depth = max(0, self._drop_depth - 1)
+            else:
+                if boiler:
+                    self._boiler_depth = max(0, self._boiler_depth - 1)
+                if t == "a":
+                    self._link_depth = max(0, self._link_depth - 1)
+                if t in _BLOCK_TAGS:
+                    self._close_block()
+            if t == tag:
+                break
+
+    def handle_data(self, data):
+        if self._drop_depth or not data:
+            return
+        if self._cur is None:
+            self._open_block("p")
+            self._cur.boiler = self._boiler_depth > 0
+        self._cur.parts.append(data)
+        if self._link_depth:
+            self._cur.link_chars += len(data.strip())
+
+
+def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]]:
+    """Extract main content from an HTML payload.
+
+    Returns ``(text, spans)`` where ``spans`` is a list of
+    ``(start, end, kind, conf)`` character spans into ``text`` — one per
+    kept block, ``kind`` = the block's tag, ``conf`` derived from link
+    density (cleaner blocks score higher).
+    """
+    parser = _Extractor()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # Malformed HTML: fall back to tag-stripped text, mirroring the
+        # reference's parse fallback chain (ocr/service.py:1649-1673).
+        plain = _WS.sub(" ", re.sub(r"<[^>]+>", " ", html)).strip()
+        return plain, ([(0, len(plain), "fallback", 0.5)] if plain else [])
+
+    kept: list[tuple[str, str, float]] = []  # (text, kind, conf)
+    for b in parser.blocks:
+        t = b.text()
+        if not t or b.boiler or len(t) < MIN_BLOCK_CHARS:
+            continue
+        link_density = b.link_chars / max(len(t), 1)
+        text_density = len(t) / max(b.n_elems, 1)
+        if link_density > MAX_LINK_DENSITY or text_density < MIN_TEXT_DENSITY:
+            continue
+        conf = round(min(0.99, 0.6 + 0.39 * (1.0 - link_density)), 4)
+        kept.append((t, b.tag, conf))
+
+    spans: list[tuple[int, int, str, float]] = []
+    pos = 0
+    out: list[str] = []
+    for t, kind, conf in kept:
+        out.append(t)
+        spans.append((pos, pos + len(t), kind, conf))
+        pos += len(t) + 1  # newline separator
+    return "\n".join(out), spans

@@ -1,0 +1,98 @@
+"""Layout-span extraction: bounding-region → text-span mapping with
+reading-order sort.
+
+Analog of the reference's Textract LINE-block handling: lines arrive in
+arbitrary order with bounding boxes and confidences and must be
+restored to reading order (top-to-bottom rows, left-to-right within a
+row) before being newline-joined — mirroring the textractor
+reading-order parse and the per-line text-confidence table of
+``lib/idp_common_pkg/idp_common/ocr/service.py:1561-1675``.
+
+The plain-text path fabricates a single full-width span at confidence
+0.99, mirroring the synthetic-OCR path for converted documents
+(``ocr/service.py:1805-1846``).
+"""
+
+from __future__ import annotations
+
+import json
+
+Span = tuple[int, int, str, float]
+
+PLAIN_CONF = 0.99
+
+
+def parse_layout(payload: str) -> list[dict] | None:
+    """Return the line records if ``payload`` is a layout payload, else None."""
+    s = payload.lstrip()
+    if not s.startswith("["):
+        return None
+    try:
+        recs = json.loads(s)
+    except Exception:
+        return None
+    if not isinstance(recs, list) or not recs:
+        return None
+    for r in recs:
+        if not isinstance(r, dict) or "bbox" not in r or "text" not in r:
+            return None
+    return recs
+
+
+def _reading_order(recs: list[dict]) -> list[dict]:
+    """Sort line records top-to-bottom, left-to-right.
+
+    Rows are clustered greedily on y0 with a tolerance of half the
+    median line height; within a row, sort by x0.  Deterministic: ties
+    broken by (y0, x0, text).
+    """
+    heights = sorted(max(r["bbox"][3] - r["bbox"][1], 1e-9) for r in recs)
+    tol = 0.5 * heights[len(heights) // 2]
+    by_y = sorted(recs, key=lambda r: (r["bbox"][1], r["bbox"][0], r["text"]))
+    rows: list[list[dict]] = []
+    row_y = None
+    for r in by_y:
+        y0 = r["bbox"][1]
+        if row_y is None or y0 - row_y > tol:
+            rows.append([r])
+            row_y = y0
+        else:
+            rows[-1].append(r)
+    ordered: list[dict] = []
+    for row in rows:
+        ordered.extend(sorted(row, key=lambda r: (r["bbox"][0], r["bbox"][1], r["text"])))
+    return ordered
+
+
+def extract_spans(payload: str) -> tuple[str, list[Span]]:
+    """Extract reading-ordered text + spans from a layout payload.
+
+    Returns ``(text, spans)``; each span is ``(start, end, "line", conf)``
+    with ``conf`` normalized to [0, 1] and rounded to 4 places (the
+    reference rounds its 0-100 confidences to one decimal,
+    ``ocr/service.py:1582``).
+    """
+    recs = parse_layout(payload)
+    if recs is None:
+        raise ValueError("not a layout payload")
+    ordered = _reading_order(recs)
+    parts: list[str] = []
+    spans: list[Span] = []
+    pos = 0
+    for r in ordered:
+        t = str(r["text"])
+        c = float(r.get("conf", 100.0))
+        if c > 1.0:  # 0-100 scale → 0-1
+            c = c / 100.0
+        parts.append(t)
+        spans.append((pos, pos + len(t), "line", round(c, 4)))
+        pos += len(t) + 1
+    return "\n".join(parts), spans
+
+
+def plain_spans(text: str) -> tuple[str, list[Span]]:
+    """Identity extraction for plain prose at constant confidence 0.99."""
+    t = text.strip()
+    if not t:
+        return "", []
+    return t, [(0, len(t), "text", PLAIN_CONF)]

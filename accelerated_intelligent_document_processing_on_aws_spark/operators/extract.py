@@ -1,0 +1,167 @@
+"""Distributed per-turn extraction: the pipeline's hot path.
+
+Replaces the reference's OCR→classification→assessment Lambda chain
+(``patterns/pattern-2/statemachine/workflow.asl.json``) with ONE
+Arrow-batched ``mapInPandas`` pass: each executor pulls columnar
+batches, runs the pure kernel per turn, and emits the extracted
+columns.  There is no per-row Python at the Spark API surface — batches
+in, batches out — matching the input-hint requirement.
+
+Scale design (100 TB / 10^12 turns):
+
+- **Salted repartition.**  Turn-level extraction is embarrassingly
+  parallel, but Zipf conversation lengths make any conv_id-keyed layout
+  skewed.  We repartition by ``xxhash64(conv_id)`` *plus a turn-derived
+  salt* so one 10^6-turn conversation spreads across ``salt`` tasks
+  (north rule's skew defusal).  The later window/segmentation phase
+  re-shuffles by conv_id alone — that phase touches only the narrow
+  derived columns, never the raw text.
+- **Column pruning.**  The kernel consumes exactly
+  (conv_id, turn_idx, role, text, tool, ts); Catalyst prunes the scan
+  to those columns (visible as ReadSchema in .explain).
+- **Lineage.**  Each output row carries its kernel task's partition id
+  and amortized per-row latency; :func:`lineage` aggregates them into
+  the north-rule lineage table (partition_id, rows_in, rows_out,
+  extract_ms) — the analog of the reference's metering capture
+  (``reporting/save_reporting_data.py:1084-1097``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.oracle import extract_turn
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("conf", T.DoubleType()),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload_kind", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("classification", T.StringType()),
+        T.StructField("boundary", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("_partition_id", T.IntegerType()),
+        T.StructField("_row_ms", T.DoubleType()),
+    ]
+)
+
+
+def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        t0 = time.perf_counter()
+        n = len(pdf)
+        if n == 0:
+            continue
+        texts = pdf["text"].to_numpy()
+        roles = pdf["role"].to_numpy()
+        tools = pdf["tool"].to_numpy()
+        ex_text: list[str] = []
+        ex_spans: list[list[dict]] = []
+        ex_cls: list[str] = []
+        ex_bnd: list[str] = []
+        ex_conf: list[float] = []
+        ex_kind: list[str] = []
+        for i in range(n):
+            r = extract_turn(texts[i], roles[i], tools[i])
+            ex_text.append(r["extracted_text"])
+            ex_spans.append(r["spans"])
+            ex_cls.append(r["classification"])
+            ex_bnd.append(r["boundary"])
+            ex_conf.append(r["confidence"])
+            ex_kind.append(r["payload_kind"])
+        row_ms = (time.perf_counter() - t0) * 1000.0 / n
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": pdf["tool"],
+                "ts": pdf["ts"],
+                "payload_kind": ex_kind,
+                "extracted_text": ex_text,
+                "spans": ex_spans,
+                "classification": ex_cls,
+                "boundary": ex_bnd,
+                "confidence": ex_conf,
+                "_partition_id": pid,
+                "_row_ms": row_ms,
+            }
+        )
+
+
+def extract_turns(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = 16,
+) -> DataFrame:
+    """Run the extraction kernel over a transcripts DataFrame.
+
+    ``salt`` splits each conversation across up to ``salt`` kernel tasks
+    (pure per-turn work, order restored downstream by window sort).
+    """
+    df = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    parts = [F.xxhash64("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt))]
+    df = (
+        df.repartition(num_partitions, *parts)
+        if num_partitions
+        else df.repartition(*parts)
+    )
+    return df.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)
+
+
+def lineage(extracted: DataFrame) -> DataFrame:
+    """North-rule lineage table: one row per kernel task partition."""
+    return (
+        extracted.groupBy(F.col("_partition_id").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count("extracted_text").alias("rows_out"),
+            F.round(F.sum("_row_ms"), 3).alias("extract_ms"),
+        )
+        .withColumn("ts", F.current_timestamp())
+    )
+
+
+def drop_internal(extracted: DataFrame) -> DataFrame:
+    return extracted.drop("_partition_id", "_row_ms")
+
+
+def alerts(extracted: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Confidence threshold alerts (assessment analog,
+    ``assessment/service.py:262-286``): rows whose per-turn confidence
+    falls below the threshold."""
+    return (
+        extracted.where(F.col("confidence") < F.lit(threshold))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "classification",
+            "confidence",
+            F.lit(threshold).alias("confidence_threshold"),
+        )
+    )

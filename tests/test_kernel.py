@@ -1,0 +1,169 @@
+"""Pure-Python kernel unit tests (no Spark) — SURVEY.md §5(a)."""
+
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.classify import (
+    classify_turn,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.confidence import (
+    score_confidence,
+    threshold_alert,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.html_extract import (
+    strip_boilerplate,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.layout import (
+    extract_spans,
+    plain_spans,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.oracle import (
+    extract_turn,
+    sections_oracle,
+    sniff_payload_kind,
+)
+
+
+class TestHtmlExtract:
+    def test_keeps_article_drops_chrome(self):
+        html = (
+            "<html><body><nav><ul><li><a href='/a'>Home</a></li>"
+            "<li><a href='/b'>Docs</a></li></ul></nav>"
+            "<article><p>The quarterly ledger shows a healthy balance across accounts.</p>"
+            "<p>Refunds were processed within the agreed service window.</p></article>"
+            "<footer><a href='/l'>legal</a><a href='/p'>privacy</a></footer></body></html>"
+        )
+        text, spans = strip_boilerplate(html)
+        assert "quarterly ledger" in text
+        assert "Refunds were processed" in text
+        assert "Home" not in text and "legal" not in text
+        assert len(spans) == 2
+        for s, e, kind, conf in spans:
+            assert text[s:e]
+            assert kind == "p"
+            assert 0 < conf <= 0.99
+
+    def test_drops_high_link_density_block(self):
+        html = (
+            "<div><a href='/x'>click here now</a> <a href='/y'>and also here</a> ok</div>"
+            "<p>This sentence is long enough and contains no hyperlinks at all today.</p>"
+        )
+        text, _ = strip_boilerplate(html)
+        assert "click here" not in text
+        assert "no hyperlinks" in text
+
+    def test_drops_ad_class_container(self):
+        html = (
+            "<div class='ad-box'><p>Buy the amazing thing now, limited time offer.</p></div>"
+            "<p>Actual content of the page body with enough characters.</p>"
+        )
+        text, _ = strip_boilerplate(html)
+        assert "limited time offer" not in text
+        assert "Actual content" in text
+
+    def test_script_style_removed(self):
+        html = "<p>Visible content paragraph stays here.</p><script>var x=1;</script><style>p{}</style>"
+        text, _ = strip_boilerplate(html)
+        assert "var x" not in text and "p{}" not in text
+        assert "Visible content" in text
+
+    def test_spans_offsets_are_exact(self):
+        html = "<p>First block of text content here.</p><p>Second block of text content here.</p>"
+        text, spans = strip_boilerplate(html)
+        assert text == "First block of text content here.\nSecond block of text content here."
+        assert [text[s:e] for s, e, _, _ in spans] == text.split("\n")
+
+    def test_malformed_html_fallback(self):
+        text, spans = strip_boilerplate("<p>unterminated but long enough <b>bold text run")
+        assert "unterminated but long enough" in text
+
+
+class TestLayout:
+    def test_reading_order(self):
+        import json
+
+        lines = [
+            {"text": "bottom", "bbox": [10, 100, 60, 112], "conf": 90.0},
+            {"text": "top-right", "bbox": [200, 10, 260, 22], "conf": 95.0},
+            {"text": "top-left", "bbox": [10, 10, 60, 22], "conf": 99.0},
+        ]
+        text, spans = extract_spans(json.dumps(lines))
+        assert text == "top-left\ntop-right\nbottom"
+        assert [round(c, 2) for _, _, _, c in spans] == [0.99, 0.95, 0.9]
+        assert [text[s:e] for s, e, _, _ in spans] == ["top-left", "top-right", "bottom"]
+
+    def test_plain(self):
+        text, spans = plain_spans("  hello world  ")
+        assert text == "hello world"
+        assert spans == [(0, 11, "text", 0.99)]
+
+
+class TestClassify:
+    def test_topic_mapping(self):
+        assert classify_turn("#topic:billing pay the invoice", "user", None) == (
+            "invoice",
+            "continue",
+        )
+        assert classify_turn("#topic:tech #seg:start reboot", "assistant", None) == (
+            "tech_note",
+            "start",
+        )
+        assert classify_turn("no marker at all", "user", None) == (
+            "unclassified",
+            "continue",
+        )
+        assert classify_turn("#topic:unknown_thing x", "user", None)[0] == "unclassified"
+
+
+class TestConfidence:
+    def test_weighted_mean(self):
+        spans = [(0, 10, "line", 1.0), (11, 41, "line", 0.5)]
+        assert score_confidence("x" * 41, spans) == round((10 * 1.0 + 30 * 0.5) / 40, 4)
+
+    def test_empty(self):
+        assert score_confidence("", []) == 0.0
+
+    def test_alert(self):
+        assert threshold_alert(0.79) and not threshold_alert(0.8)
+
+
+class TestOracle:
+    def test_sniff(self):
+        assert sniff_payload_kind("<html>") == "html"
+        assert sniff_payload_kind('[{"text":"a","bbox":[0,0,1,1]}]') == "layout"
+        assert sniff_payload_kind("[1,2,3]") == "plain"
+        assert sniff_payload_kind("hello") == "plain"
+
+    def test_deterministic(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            generate_transcripts,
+        )
+
+        rows = generate_transcripts(5, seed=7)
+        a = [extract_turn(r["text"], r["role"], r["tool"]) for r in rows]
+        b = [extract_turn(r["text"], r["role"], r["tool"]) for r in rows]
+        assert a == b
+
+    def test_sections_oracle_bio_cases(self):
+        turns = [
+            {"turn_idx": 0, "classification": "invoice", "boundary": "continue"},
+            {"turn_idx": 1, "classification": "invoice", "boundary": "continue"},
+            # type change → split
+            {"turn_idx": 2, "classification": "tech_note", "boundary": "continue"},
+            # same type, boundary=start → split
+            {"turn_idx": 3, "classification": "tech_note", "boundary": "start"},
+            {"turn_idx": 4, "classification": "tech_note", "boundary": "continue"},
+        ]
+        secs = sections_oracle(turns)
+        assert [(s["section_id"], s["classification"], s["turn_idxs"]) for s in secs] == [
+            (1, "invoice", [0, 1]),
+            (2, "tech_note", [2]),
+            (3, "tech_note", [3, 4]),
+        ]
+
+
+class TestGeneratorDeterminism:
+    def test_same_seed_same_corpus(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            generate_transcripts,
+        )
+
+        assert generate_transcripts(20, seed=42) == generate_transcripts(20, seed=42)
+        assert generate_transcripts(20, seed=42) != generate_transcripts(20, seed=43)
