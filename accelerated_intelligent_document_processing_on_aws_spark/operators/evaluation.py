@@ -1,0 +1,248 @@
+"""Evaluation comparators & metric rollups (SURVEY.md §2.D).
+
+Column-expression reimplementations of the reference's comparator
+library (``lib/idp_common_pkg/idp_common/evaluation/comparator.py``)
+plus the precision/recall/F1 aggregate family
+(``evaluation/metrics.py:13-145``) and the attribute→section→document
+rollup cascade (``evaluation/service.py:1564-1902``).
+
+Everything except the Hungarian list matcher is a pure Catalyst
+expression (whole-stage codegen, no Python).  The Hungarian matcher is
+inherently per-pair quadratic, so it runs as an Arrow-batched pandas
+UDF over two array columns — never a row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.normalize import norm_numeric, norm_text
+from ..functions.vectors import cosine_sim
+
+DEFAULT_FUZZY_THRESHOLD = 0.8  # comparator.py:315 default
+
+
+# ---------------------------------------------------------------------------
+# scalar comparators (column expressions)
+# ---------------------------------------------------------------------------
+
+def _both_empty(a: Column, b: Column) -> Column:
+    ea = a.isNull() | (F.trim(a.cast("string")) == "")
+    eb = b.isNull() | (F.trim(b.cast("string")) == "")
+    return ea & eb
+
+
+def compare_exact(a: Column, b: Column) -> Column:
+    """Normalized string equality; both-None/both-empty → match
+    (``comparator.py:143-172``)."""
+    return F.when(_both_empty(a, b), F.lit(True)).otherwise(
+        norm_text(a) == norm_text(b)
+    )
+
+
+def compare_numeric(a: Column, b: Column) -> Column:
+    """Currency-normalized numeric equality, falling back to exact
+    (``comparator.py:175-207``)."""
+    na, nb = norm_numeric(a), norm_numeric(b)
+    return F.when(_both_empty(a, b), F.lit(True)).otherwise(
+        F.when(na.isNotNull() & nb.isNotNull(), na == nb).otherwise(
+            compare_exact(a, b)
+        )
+    )
+
+
+def fuzzy_score(a: Column, b: Column) -> Column:
+    """Levenshtein similarity 1 - dist/max_len on normalized strings,
+    via the BUILT-IN ``levenshtein`` (JVM) — the reference's O(mn)
+    Python DP (``comparator.py:306-345``) without leaving codegen."""
+    na, nb = norm_text(a), norm_text(b)
+    maxlen = F.greatest(F.length(na), F.length(nb))
+    return (
+        F.when(_both_empty(a, b), F.lit(1.0))
+        .when((F.length(na) == 0) | (F.length(nb) == 0), F.lit(0.0))
+        .otherwise(1.0 - F.levenshtein(na, nb) / maxlen)
+    )
+
+
+def compare_fuzzy(a: Column, b: Column, threshold: float = DEFAULT_FUZZY_THRESHOLD) -> Column:
+    return fuzzy_score(a, b) >= F.lit(threshold)
+
+
+def compare_semantic(a: Column, b: Column, threshold: float = 0.8) -> Column:
+    """Deterministic surrogate for the reference's embedding comparator
+    (``comparator.py:422-492``): the reference embeds via Bedrock and
+    thresholds cosine; our deterministic engine uses fuzzy similarity
+    as the stand-in scorer with the same thresholding contract."""
+    return fuzzy_score(a, b) >= F.lit(threshold)
+
+
+def compare_values(a: Column, b: Column, method: Column,
+                   threshold: float = DEFAULT_FUZZY_THRESHOLD) -> Column:
+    """Method-dispatched comparison (EXACT/NUMERIC_EXACT/FUZZY/SEMANTIC)
+    — the ``compare_values`` dispatcher (``comparator.py:495-593``)."""
+    return (
+        F.when(method == "NUMERIC_EXACT", compare_numeric(a, b))
+        .when(method == "FUZZY", compare_fuzzy(a, b, threshold))
+        .when(method == "SEMANTIC", compare_semantic(a, b, threshold))
+        .otherwise(compare_exact(a, b))
+    )
+
+
+def compare_embedding(a: Column, b: Column, threshold: float = 0.8) -> Column:
+    """Cosine ≥ threshold over two array<numeric> columns
+    (``comparator.py:388-419``) — pure Catalyst expression."""
+    return cosine_sim(a, b) >= F.lit(threshold)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian list comparator (Arrow-batched pandas UDF)
+# ---------------------------------------------------------------------------
+
+_HUNGARIAN_RESULT = T.StructType(
+    [
+        T.StructField("tp", T.IntegerType()),
+        T.StructField("fp", T.IntegerType()),
+        T.StructField("avg_score", T.DoubleType()),
+    ]
+)
+
+
+def hungarian_udf(comparator: str = "EXACT", threshold: float = DEFAULT_FUZZY_THRESHOLD):
+    """Build a pandas UDF computing optimal list-vs-list assignment
+    (``comparator.py:240-303``) with item comparator EXACT/FUZZY/NUMERIC."""
+    from ..kernel.strings import hungarian_compare
+
+    @pandas_udf(_HUNGARIAN_RESULT)
+    def _cmp(expected: pd.Series, actual: pd.Series) -> pd.DataFrame:
+        out = [
+            hungarian_compare(
+                list(e) if e is not None else None,
+                list(a) if a is not None else None,
+                comparator,
+                threshold,
+            )
+            for e, a in zip(expected, actual)
+        ]
+        return pd.DataFrame(out, columns=["tp", "fp", "avg_score"])
+
+    return _cmp
+
+
+# ---------------------------------------------------------------------------
+# metric aggregates (evaluation/metrics.py:13-145)
+# ---------------------------------------------------------------------------
+
+def _safe_div(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def metric_aggs() -> list[Column]:
+    """Aggregates over tp/fp/fn/tn count columns → the reference's
+    metric family.  Use after ``groupBy`` on pre-summed columns."""
+    tp, fp, fn, tn = (F.sum(c).cast("double") for c in ("tp", "fp", "fn", "tn"))
+    precision = _safe_div(tp, tp + fp)
+    recall = _safe_div(tp, tp + fn)
+    f1 = _safe_div(2 * precision * recall, precision + recall)
+    accuracy = _safe_div(tp + tn, tp + fp + fn + tn)
+    far = _safe_div(fp, fp + tn)  # false alarm rate (metrics.py:96-109)
+    fdr = _safe_div(fp, fp + tp)  # false discovery rate (metrics.py:112-125)
+    return [
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(accuracy, 6).alias("accuracy"),
+        F.round(far, 6).alias("false_alarm_rate"),
+        F.round(fdr, 6).alias("false_discovery_rate"),
+    ]
+
+
+def attribute_eval(df: DataFrame, expected: str = "expected", actual: str = "actual",
+                   method: str = "evaluation_method") -> DataFrame:
+    """Per-attribute evaluation rows: matched flag + score, mirroring the
+    attribute schema of ``save_reporting_data.py:621-638``.
+
+    Requires columns (expected, actual, evaluation_method, weight)."""
+    matched = compare_values(F.col(expected), F.col(actual), F.col(method))
+    score = (
+        F.when(F.col(method) == "FUZZY", fuzzy_score(F.col(expected), F.col(actual)))
+        .otherwise(matched.cast("double"))
+    )
+    return df.withColumn("matched", matched).withColumn("score", F.round(score, 6))
+
+
+def rollup_metrics(attr_eval: DataFrame, keys: list[str]) -> DataFrame:
+    """Roll attribute-level matched/score rows up to any grouping level
+    (section = [conv_id, section_id]; document = [conv_id]) — the
+    attribute→section→document cascade (``evaluation/service.py:1564-1902``).
+
+    Counts an unmatched expected attribute as FN when actual is missing,
+    FP+FN when present-but-wrong, TP when matched — the tp/fp/fn
+    accounting of ``evaluation/service.py:1680-1745``."""
+    actual_missing = F.col("actual").isNull() | (F.trim(F.col("actual").cast("string")) == "")
+    flags = attr_eval.select(
+        *keys,
+        F.when(F.col("matched"), 1).otherwise(0).alias("tp"),
+        F.when(~F.col("matched") & ~actual_missing, 1).otherwise(0).alias("fp"),
+        F.when(~F.col("matched"), 1).otherwise(0).alias("fn"),
+        F.lit(0).alias("tn"),
+        F.col("score"),
+        F.col("weight"),
+    )
+    return flags.groupBy(*keys).agg(
+        *metric_aggs(),
+        F.round(
+            _safe_div(F.sum(F.col("score") * F.col("weight")), F.sum("weight")), 6
+        ).alias("weighted_overall_score"),
+        F.count(F.lit(1)).alias("n_attributes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc-split / classification metrics (doc_split_classification_metrics.py)
+# ---------------------------------------------------------------------------
+
+def split_metrics(pred_sections: DataFrame, gold_sections: DataFrame) -> DataFrame:
+    """Split accuracy with and without order
+    (``evaluation/doc_split_classification_metrics.py:19-260``).
+
+    Inputs are sections tables (conv_id, section_id, classification,
+    turn_idxs).  'Without order' compares the multiset of turn-groups;
+    'with order' additionally requires identical section numbering."""
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("conv_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("section_id", "classification", "turn_idxs"))
+            ).alias(f"{prefix}_ordered"),
+            F.sort_array(
+                F.collect_list(F.struct("classification", "turn_idxs"))
+            ).alias(f"{prefix}_unordered"),
+        )
+
+    joined = keyed(pred_sections, "p").join(keyed(gold_sections, "g"), "conv_id")
+    per_conv = joined.select(
+        "conv_id",
+        (F.col("p_ordered") == F.col("g_ordered")).cast("int").alias("split_ok_ordered"),
+        (F.col("p_unordered") == F.col("g_unordered")).cast("int").alias("split_ok_unordered"),
+    )
+    return per_conv.agg(
+        F.round(F.avg("split_ok_ordered"), 6).alias("split_accuracy_with_order"),
+        F.round(F.avg("split_ok_unordered"), 6).alias("split_accuracy_without_order"),
+        F.count(F.lit(1)).alias("n_conversations"),
+    )
+
+
+def page_classification_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-turn classification accuracy (``doc_split_classification_metrics.py:19-34``):
+    join predicted vs gold per-turn labels, avg(pred == gold)."""
+    p = pred.select("conv_id", "turn_idx", F.col("classification").alias("p_cls"))
+    g = gold.select("conv_id", "turn_idx", F.col("classification").alias("g_cls"))
+    return p.join(g, ["conv_id", "turn_idx"]).agg(
+        F.round(F.avg((F.col("p_cls") == F.col("g_cls")).cast("double")), 6).alias(
+            "page_classification_accuracy"
+        ),
+        F.count(F.lit(1)).alias("n_turns"),
+    )

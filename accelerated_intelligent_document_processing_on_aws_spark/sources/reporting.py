@@ -1,0 +1,106 @@
+"""Reporting sinks: date-partitioned parquet tables.
+
+Mirrors the reference's reporting layer
+(``lib/idp_common_pkg/idp_common/reporting/save_reporting_data.py``):
+snappy parquet (``:83-117``), ``date=YYYY-MM-DD`` partition layout
+(``:402-413,736,820``), per-class section tables (``:1179,1349-1354``),
+and the metering table schema (``:1084-1097``) with the pricing-join
+cost model (``:841-1067``; ``config_library/pricing.yaml:25-43``).
+
+On a cluster these become Iceberg ``partitionBy(days(ts))`` appends;
+partition pruning then serves the date-filtered analytics queries
+(§2.E) without full scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn("date", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           mode: str = "append") -> None:
+    (
+        with_date(df, ts_col)
+        .write.mode(mode)
+        .option("compression", "snappy")
+        .partitionBy("date")
+        .parquet(path)
+    )
+
+
+def write_section_tables(sections_with_date: DataFrame, base_path: str) -> None:
+    """Per-class section tables: ``{base}/document_sections_{class}/date=...``
+    — one table per classification, like the reference's per-type Glue
+    tables (``save_reporting_data.py:359-415``).  Single pass: partition
+    by (classification, date); each classification directory IS the
+    per-class table."""
+    (
+        sections_with_date.write.mode("append")
+        .option("compression", "snappy")
+        .partitionBy("classification", "date")
+        .parquet(base_path)
+    )
+
+
+def metering_table(extracted: DataFrame) -> DataFrame:
+    """Long-format metering rows per turn: (conv_id, context, unit,
+    value, ts) — the exploded analog of ``merge_metering_data``'s nested
+    dict (``utils/__init__.py:88-130``).  Units mirror the reference's
+    token/page accounting."""
+    base = extracted.select(
+        "conv_id",
+        "ts",
+        F.col("payload_kind").alias("context"),
+        F.length("extracted_text").cast("double").alias("chars_out"),
+        F.size("spans").cast("double").alias("spans_out"),
+    )
+    return base.select(
+        "conv_id", "ts", "context", F.lit("charsExtracted").alias("unit"),
+        F.col("chars_out").alias("value"),
+    ).unionByName(
+        base.select(
+            "conv_id", "ts", "context", F.lit("spansExtracted").alias("unit"),
+            F.col("spans_out").alias("value"),
+        )
+    )
+
+
+def merge_metering(metering: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Numeric sum-merge of metering rows (``utils/__init__.py:88-130``):
+    the nested-dict merge is just a groupBy-sum in long format."""
+    keys = keys or ["context", "unit"]
+    return metering.groupBy(*keys).agg(F.round(F.sum("value"), 6).alias("value"))
+
+
+def default_pricing(spark: SparkSession) -> DataFrame:
+    """Tiny pricing dimension (broadcast side of the cost join) —
+    schema per ``config_library/pricing.yaml:25-43``."""
+    rows = [
+        ("html", "charsExtracted", 1.5e-6),
+        ("html", "spansExtracted", 4.0e-4),
+        ("layout", "charsExtracted", 1.0e-6),
+        ("layout", "spansExtracted", 4.0e-4),
+        ("plain", "charsExtracted", 5.0e-7),
+        ("plain", "spansExtracted", 1.0e-4),
+    ]
+    return spark.createDataFrame(rows, "context string, unit string, unit_cost double")
+
+
+def with_cost(metering: DataFrame, pricing: DataFrame) -> DataFrame:
+    """``estimated_cost = value × unit_cost`` via broadcast join against
+    the pricing dim (``save_reporting_data.py:841-1067,1160-1172``);
+    unmatched rows cost 0 (the reference's fuzzy-fallback default)."""
+    p = F.broadcast(pricing)
+    return (
+        metering.join(p, ["context", "unit"], "left")
+        .withColumn(
+            "estimated_cost",
+            F.round(F.col("value") * F.coalesce(F.col("unit_cost"), F.lit(0.0)), 8),
+        )
+        .drop("unit_cost")
+    )

@@ -1,0 +1,112 @@
+"""Checkpoint/resume + reporting sinks — SURVEY.md §5(e)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+    drop_internal,
+    extract_turns,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.sources import reporting
+from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+    read_manifest,
+    resume_pending,
+    run_checkpointed_extraction,
+)
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark, tmp_path_factory):
+    from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+        write_transcripts_parquet,
+    )
+
+    p = tmp_path_factory.mktemp("ckpt-corpus") / "t.parquet"
+    write_transcripts_parquet(str(p), n_convs=60, seed=11)
+    return str(p)
+
+
+class TestResume:
+    def test_crash_resume_identical_output(self, spark, small_corpus, tmp_path_factory):
+        src = spark.read.parquet(small_corpus)
+        out = str(tmp_path_factory.mktemp("ckpt") / "run")
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            run_checkpointed_extraction(
+                spark, src, out, n_buckets=8, wave_size=2, fail_after_waves=2
+            )
+        m = read_manifest(out)
+        assert len(m["done_buckets"]) == 4
+        assert resume_pending(out, 8) == [b for b in range(8) if b not in m["done_buckets"]]
+
+        # resume to completion
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        assert resume_pending(out, 8) == []
+
+        got = spark.read.parquet(os.path.join(out, "extracted"))
+        # identical to a single-shot run
+        single = drop_internal(extract_turns(src, salt=4))
+        a = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in got.select("conv_id", "turn_idx", "extracted_text").collect()
+        }
+        b = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in single.select("conv_id", "turn_idx", "extracted_text").collect()
+        }
+        assert a == b
+
+        # no duplicate rows, no duplicate lineage accounting
+        assert got.count() == got.select("conv_id", "turn_idx").distinct().count()
+        lin = spark.read.parquet(os.path.join(out, "lineage"))
+        assert lin.agg(F.sum("rows_out")).collect()[0][0] == got.count()
+
+    def test_rerun_completed_is_noop(self, spark, small_corpus, tmp_path_factory):
+        src = spark.read.parquet(small_corpus)
+        out = str(tmp_path_factory.mktemp("ckpt2") / "run")
+        run_checkpointed_extraction(spark, src, out, n_buckets=4, wave_size=4)
+        n1 = spark.read.parquet(os.path.join(out, "extracted")).count()
+        run_checkpointed_extraction(spark, src, out, n_buckets=4, wave_size=4)
+        n2 = spark.read.parquet(os.path.join(out, "extracted")).count()
+        assert n1 == n2
+
+
+class TestReporting:
+    def test_date_partitioned_layout(self, spark, small_corpus, tmp_path_factory):
+        src = spark.read.parquet(small_corpus).limit(200)
+        extracted = extract_turns(src, salt=2)
+        out = str(tmp_path_factory.mktemp("rep") / "metering")
+        met = reporting.metering_table(extracted)
+        reporting.write_date_partitioned(met, out)
+        parts = [d for d in os.listdir(out) if d.startswith("date=")]
+        assert parts, "expected date=YYYY-MM-DD partition dirs"
+        back = spark.read.parquet(out)
+        assert back.count() == met.count()
+
+    def test_metering_merge_and_cost(self, spark, small_corpus):
+        src = spark.read.parquet(small_corpus).limit(300)
+        extracted = extract_turns(src, salt=2)
+        met = reporting.metering_table(extracted)
+        merged = reporting.merge_metering(met)
+        assert merged.count() <= 6  # 3 contexts × 2 units
+        total = met.agg(F.sum("value")).collect()[0][0]
+        assert merged.agg(F.sum("value")).collect()[0][0] == pytest.approx(total)
+        cost = reporting.with_cost(met, reporting.default_pricing(spark))
+        assert cost.where(F.col("estimated_cost") < 0).count() == 0
+
+    def test_section_tables_per_class_layout(self, spark, small_corpus, tmp_path_factory):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            segmentation as seg,
+        )
+
+        src = spark.read.parquet(small_corpus)
+        extracted = extract_turns(src, salt=2)
+        secs = seg.sections(extracted, "llm_determined").withColumn(
+            "date", F.lit("2026-01-01")
+        )
+        base = str(tmp_path_factory.mktemp("rep2") / "document_sections")
+        reporting.write_section_tables(secs, base)
+        classes = [d for d in os.listdir(base) if d.startswith("classification=")]
+        assert len(classes) >= 2
