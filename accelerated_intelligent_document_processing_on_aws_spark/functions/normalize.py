@@ -24,4 +24,6 @@ def norm_text(c: Column | str) -> Column:
 
 def norm_numeric(c: Column | str) -> Column:
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(c.cast("string"), r"[$,()\s]", "").cast("double")
+    # try_cast: non-numeric → null (ANSI-safe), mirroring the reference's
+    # ValueError fallback (comparator.py:136-140).
+    return F.regexp_replace(c.cast("string"), r"[$,()\s]", "").try_cast("double")

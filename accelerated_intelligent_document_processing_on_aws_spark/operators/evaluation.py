@@ -39,9 +39,9 @@ def _both_empty(a: Column, b: Column) -> Column:
 def compare_exact(a: Column, b: Column) -> Column:
     """Normalized string equality; both-None/both-empty → match
     (``comparator.py:143-172``)."""
-    return F.when(_both_empty(a, b), F.lit(True)).otherwise(
-        norm_text(a) == norm_text(b)
-    )
+    na = F.coalesce(norm_text(a), F.lit(""))
+    nb = F.coalesce(norm_text(b), F.lit(""))
+    return F.when(_both_empty(a, b), F.lit(True)).otherwise(na == nb)
 
 
 def compare_numeric(a: Column, b: Column) -> Column:
@@ -59,7 +59,8 @@ def fuzzy_score(a: Column, b: Column) -> Column:
     """Levenshtein similarity 1 - dist/max_len on normalized strings,
     via the BUILT-IN ``levenshtein`` (JVM) — the reference's O(mn)
     Python DP (``comparator.py:306-345``) without leaving codegen."""
-    na, nb = norm_text(a), norm_text(b)
+    na = F.coalesce(norm_text(a), F.lit(""))
+    nb = F.coalesce(norm_text(b), F.lit(""))
     maxlen = F.greatest(F.length(na), F.length(nb))
     return (
         F.when(_both_empty(a, b), F.lit(1.0))

@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The reference renders PDF pages to images and resizes/binarizes them
+(``lib/idp_common_pkg/idp_common/ocr/service.py:1189-1297``,
+``image/__init__.py``).  In a Spark corpus pipeline the analogous data
+model is an opaque ``binary`` column plus a metadata struct
+(modality, mime, width/height/duration), processed by Arrow-batched
+``mapInPandas`` kernels.
+
+The Spark-side plumbing here is REAL and tested: schemas, batch
+iteration, partitioning, and deterministic fake feature extraction.
+The actual media decode is STUBBED — the image/audio codecs are not in
+this container — behind ``decode_image`` raising ``NotImplementedError``
+unless a decoder callback is injected.  Swapping in PIL/ffmpeg on a real
+cluster changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decoder injection point.  No codec libs in this container."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. PIL) not present "
+        "in this environment; inject a decoder into extract_features()"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: bytes of sha1 digest scaled to
+    [0,1).  Stable across runs/partitions — lets the distributed
+    plumbing be tested end-to-end without codecs."""
+    digest = hashlib.sha1(payload or b"").digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def extract_features(
+    media: DataFrame,
+    dim: int = 8,
+    decoder: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary media payloads.
+
+    ``decoder`` (if given) is called per payload before featurization —
+    this is where PIL resize / frame sampling plugs in.  Without it, the
+    deterministic fake feature keeps the pipeline testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = pdf["payload"]
+            if decoder is not None:
+                payloads = payloads.map(lambda p: decoder(p))  # pragma: no cover
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p or b"")),
+                    "sha1": pdf["payload"].map(
+                        lambda p: hashlib.sha1(p or b"").hexdigest()
+                    ),
+                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                }
+            )
+
+    cols = media.select("media_id", "modality", "payload")
+    return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
+    via ``sequence``+``explode`` — the decode of each frame happens in
+    the feature kernel; the PLAN (which frames, how many rows) is pure
+    Catalyst and fully testable."""
+    return (
+        media.where(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms)
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+        rows.append(
+            (
+                i,
+                modality,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                payload,
+                640 if modality == "image" else None,
+                480 if modality == "image" else None,
+                rng.randint(1000, 10000) if modality != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

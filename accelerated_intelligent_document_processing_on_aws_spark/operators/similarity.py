@@ -1,0 +1,254 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus with the cosine computed as a Catalyst
+expression, then a per-query ``row_number`` window.  Exact, and the
+correctness oracle for the approximate paths.
+
+Scale paths:
+- **LSH (sign random projection)**: B seeded hyperplanes → B-bit bucket
+  id per vector; queries probe only their bucket (optionally hamming-1
+  neighbors).  Candidate set shrinks ~2^B-fold; recall tunable via B
+  and n_tables.
+- **IVF**: coarse quantizer of C centroids (seeded deterministic
+  sample, Lloyd-refined in a few driver-side iterations over a SAMPLE,
+  never the corpus); vectors partition by nearest centroid; queries
+  probe ``nprobe`` nearest lists.
+
+Both approximate paths reuse the same final exact-cosine rerank over
+candidates, so precision is exact; only recall is approximate.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim
+
+
+def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors: broadcast(queries) × corpus → cosine →
+    windowed top-k.  One shuffle (the window on query_id)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = c.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    return _topk_by_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# LSH: sign random projection
+# ---------------------------------------------------------------------------
+
+def _projections(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """B-bit sign-random-projection bucket id as a Catalyst expression:
+    bit_j = (v · plane_j) > 0, packed into an int."""
+    bits = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by SRP signatures in
+    ``n_tables`` independent hash tables, union bucket-equality joins,
+    exact-cosine rerank over the de-duplicated candidates.  Recall rises
+    with n_tables at linear candidate cost; the corpus bucketing is
+    computable once and persisted in practice (write each table's bucket
+    as a column of the embedding table)."""
+    c0 = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    c = c0.select(
+        "vec_id",
+        "v",
+        *[
+            srp_bucket(F.col("v"), _projections(dim, bits, seed + t)).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    q = q0.select(
+        "query_id",
+        "qv",
+        *[
+            srp_bucket(F.col("qv"), _projections(dim, bits, seed + t)).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    cand = None
+    for t in range(n_tables):
+        hit = (
+            c.alias("c")
+            .join(F.broadcast(q.alias("q")), F.col(f"c.b{t}") == F.col(f"q.b{t}"))
+            .select("q.query_id", "c.vec_id", "q.qv", "c.v")
+        )
+        cand = hit if cand is None else cand.unionByName(hit)
+    scored = cand.dropDuplicates(["query_id", "vec_id"]).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    return _topk_by_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantizer
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    iters: int = 3,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Tiny driver-side Lloyd refinement over a SAMPLE of the corpus
+    (the model is O(C·dim) — the corpus never leaves the executors
+    except this bounded sample)."""
+    sample = [
+        list(r[0])
+        for r in corpus.select(vec_col).sample(fraction=sample_fraction, seed=seed).limit(
+            max(2000, 50 * n_centroids)
+        ).collect()
+    ]
+    rng = random.Random(seed)
+    cents = [list(v) for v in rng.sample(sample, min(n_centroids, len(sample)))]
+    for _ in range(iters):
+        sums = [[0.0] * len(c) for c in cents]
+        counts = [0] * len(cents)
+        for v in sample:
+            best, best_d = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d < best_d:
+                    best, best_d = ci, d
+            counts[best] += 1
+            s = sums[best]
+            for j, a in enumerate(v):
+                s[j] += a
+        for ci in range(len(cents)):
+            if counts[ci]:
+                cents[ci] = [s / counts[ci] for s in sums[ci]]
+    return cents
+
+
+def _nearest_centroid(vec_col, cents: list[list[float]]):
+    """argmin_c ||v - c||² as a Catalyst expression over literal centroids."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: corpus assigned to nearest centroid list (one narrow
+    column, persistable as table partition); each query probes its
+    ``nprobe`` nearest lists; exact rerank inside the probed lists."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).withColumn(
+        "list_id", _nearest_centroid(F.col("v"), centroids)
+    )
+    # per-query probe lists, computed driver-side (queries are small)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probes = []
+    for r in qrows:
+        qv = list(r[query_vec_col])
+        d = [
+            (sum((a - b) ** 2 for a, b in zip(qv, cent)), ci)
+            for ci, cent in enumerate(centroids)
+        ]
+        for _, ci in sorted(d)[:nprobe]:
+            probes.append((r[query_id_col], ci, qv))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(probes, ["query_id", "list_id", "qv"])
+    scored = c.join(F.broadcast(q), "list_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    return _topk_by_query(scored, k)
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate path."""
+    a = approx.where(F.col("rank") <= k).select("query_id", "vec_id")
+    e = exact.where(F.col("rank") <= k).select("query_id", "vec_id")
+    hit = a.join(e, ["query_id", "vec_id"]).count()
+    total = e.count()
+    return hit / total if total else math.nan

@@ -1,0 +1,128 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (regexp + array ops, whole-stage
+codegen): these run over every document of a 100 TB corpus, so no
+Python may appear in the plan.  Each has an ANSI-SQL twin runnable by
+DuckDB for the driver's correctness cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately tiny marker lexicons: deterministic, cross-engine, and
+# adequate for the synthetic corpus.  Swap for real frequency tables in
+# production.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "que", "los"),
+    "zh": ("de5", "shi4", "le5"),  # pinyin-romanized placeholders
+}
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.size(toks)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: runs of letters, runs of digits, and each
+    punctuation mark count as one token (a common pre-tokenizer split)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def _count_word(c: Column, word: str) -> Column:
+    # word-boundary occurrences of a lowercase marker word
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(rf"\b{word}\b"), F.lit(0))
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        lang: sum((_count_word(c, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: argmax of per-language marker counts,
+    ties broken by language code order; no hits → 'und'."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score in [0,1]:
+    length, punctuation ratio, stopword ratio, mean token length —
+    the standard cheap quality filters of web-corpus curation."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, (F.length(F.array_join(toks, "")) / n_tokens)).otherwise(F.lit(0.0))
+    # composite: long enough, not punctuation soup, some stopwords, sane words
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.2
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 1.0).otherwise(0.0) * 0.2
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (exact-dup detection key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def kgram_min_fingerprint(text: Column | str, k: int = 16) -> Column:
+    """Rolling k-gram fingerprint: minimum md5 over all k-character
+    windows of the normalized text (winnowing-style min-sampling with a
+    single window).  Robust to local edits away from the minimizing
+    gram; cross-engine reproducible (md5, not engine hash)."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.md5(F.substring(norm, i, k)))
+    return F.array_min(grams)
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass profile: tokens, BPE-ish tokens, language, fingerprint."""
+    return docs.select(
+        F.col(id_col),
+        ws_token_count(text_col).alias("n_tokens_ws"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        lang_id(text_col).alias("pred_lang"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,525 @@
+"""Analytics SQL surface (SURVEY.md §2.E): the query shapes the
+reference's analytics agent issues over its reporting tables
+(``lib/idp_common_pkg/idp_common/agents/analytics/agent.py:90-246``,
+``docs/reporting-database.md:260-380``), restated over the fixture
+star schema, each with a DuckDB oracle twin.
+
+Cross-engine parity rules used throughout this module:
+- every aggregate is ROUNDED (sum→2..4 dp, avg/ratio→4 dp) so
+  accumulation-order float noise can't flip the value hash;
+- integer outputs are cast to BIGINT on both sides;
+- dates are emitted as 'yyyy-MM-dd' strings on both sides;
+- top-k always carries a deterministic tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table as _t
+
+# each entry: name -> (spark_callable, duckdb_sql | None)
+ENTRIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        ENTRIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# -- TPC-H Q1 shape: the canonical wide aggregate ---------------------------
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -- count distinct + partition filter (agent.py:230-232) -------------------
+@q(
+    "count_distinct_filtered",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def count_distinct_filtered(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# -- group-by sum (cost query, agent.py:235-238) ----------------------------
+@q(
+    "sum_by_context",
+    """
+    SELECT event_type, ROUND(SUM(value), 4) AS total_value, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def sum_by_context(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# -- join + avg (agent.py:241-245); broadcast the small dim -----------------
+@q(
+    "join_avg_by_segment",
+    """
+    SELECT c.c_mktsegment, ROUND(AVG(o.o_totalprice), 4) AS avg_price,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_avg_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# -- conditional aggregation / pivot (reporting-database.md:277-291) --------
+@q(
+    "conditional_agg_pivot",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 4) AS click_value,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 4) AS purchase_value,
+           ROUND(SUM(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 4) AS error_value
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def conditional_agg_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+
+    def cond(t):
+        return F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 4
+        )
+
+    return e.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        cond("click").alias("click_value"),
+        cond("purchase").alias("purchase_value"),
+        cond("error").alias("error_value"),
+    )
+
+
+# -- bucketed CASE + avg of boolean (reporting-database.md:294-316) ---------
+@q(
+    "confidence_band_accuracy",
+    """
+    SELECT CASE WHEN l_discount >= 0.08 THEN 'high'
+                WHEN l_discount >= 0.04 THEN 'medium'
+                ELSE 'low' END AS discount_band,
+           ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4) AS return_rate,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def confidence_band_accuracy(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") >= 0.08, "high")
+        .when(F.col("l_discount") >= 0.04, "medium")
+        .otherwise("low")
+    )
+    return li.groupBy(band.alias("discount_band")).agg(
+        F.round(F.avg(F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)), 4).alias(
+            "return_rate"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# -- join with ratio aggregate (reporting-database.md:319-334) --------------
+@q(
+    "ratio_by_priority",
+    """
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice) / SUM(l.l_quantity), 4) AS price_per_unit
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ratio_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
+                "price_per_unit"
+            )
+        )
+    )
+
+
+# -- top-k with deterministic tiebreak (reporting-database.md:262-274) ------
+@q(
+    "topk_customers_by_spend",
+    """
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY SUM(o_totalprice) DESC, o_custkey ASC LIMIT 10
+    """,
+)
+def topk_customers_by_spend(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum("o_totalprice").alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), F.asc("o_custkey"))
+        .limit(10)
+        .drop("_raw")
+    )
+
+
+# -- string function surface (agent.py:157-165) ------------------------------
+@q(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           LOWER(p_name)                          AS name_lower,
+           UPPER(p_brand)                         AS brand_upper,
+           SUBSTRING(p_type, 1, 4)                AS type_prefix,
+           CAST(LENGTH(p_name) AS BIGINT)         AS name_len,
+           CONCAT(p_brand, ':', p_type)           AS brand_type,
+           TRIM(CONCAT(' ', p_name, ' '))         AS trimmed,
+           (p_name LIKE '%red%')                  AS has_red,
+           regexp_matches(p_name, 'bolt|gear')    AS is_hardware,
+           CAST(STRPOS(p_name, 'e') AS BIGINT)    AS first_e
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.col("p_name").like("%red%").alias("has_red"),
+        F.col("p_name").rlike("bolt|gear").alias("is_hardware"),
+        F.locate("e", F.col("p_name")).cast("long").alias("first_e"),
+    )
+
+
+# -- date function surface (agent.py:173-177) --------------------------------
+@q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                    AS order_date,
+           CAST(year(o_orderdate) AS BIGINT)                    AS order_year,
+           CAST(month(o_orderdate) AS BIGINT)                   AS order_month,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')  AS due_date
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+# -- anti join: checkpoint-resume shape (SURVEY.md §2.A DynamoDB cache) ------
+@q(
+    "anti_join_resume",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_resume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# -- semi join ----------------------------------------------------------------
+@q(
+    "semi_join_active",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join_active(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+# -- union of shards (SURVEY.md §2 gaps: union) -------------------------------
+@q(
+    "union_shards",
+    """
+    SELECT l_returnflag, COUNT(*) AS n FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_shipdate <  TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT l_returnflag FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    ) GROUP BY l_returnflag
+    """,
+)
+def union_shards(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    a = li.where(F.col("l_shipdate") < cut).select("l_returnflag")
+    b = li.where(F.col("l_shipdate") >= cut).select("l_returnflag")
+    return a.unionByName(b).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+# -- context windows: lag/lead (classification/service.py:364-480 analog) ----
+@q(
+    "window_lag_lead",
+    """
+    SELECT event_id,
+           lag(event_type)  OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           ROUND(COALESCE(lag(value) OVER w, 0.0), 4) AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4).alias("prev_value"),
+    )
+
+
+# -- gaps-and-islands sessionization (the BIO segmentation shape, §2.C) ------
+@q(
+    "gaps_islands_sessions",
+    """
+    SELECT user_id, CAST(SUM(flag) AS BIGINT) AS n_islands, COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <> event_type
+                  THEN 1 ELSE 0 END AS flag
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def gaps_islands_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flag = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    return (
+        e.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(F.sum("flag").cast("long").alias("n_islands"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# -- majority vote with earliest tie-break (classification:2002-2094) --------
+@q(
+    "majority_vote_mode",
+    """
+    SELECT user_id, event_type AS majority_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, first_ts ASC, event_type ASC) AS rk
+      FROM (SELECT user_id, event_type, COUNT(*) AS n, MIN(ts) AS first_ts
+            FROM events GROUP BY user_id, event_type)
+    ) WHERE rk = 1
+    """,
+)
+def majority_vote_mode(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    votes = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ts").alias("first_ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("first_ts"), F.asc("event_type")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("majority_type"))
+    )
+
+
+# -- per-turn ordinals (page strategy, classification:2096-2136) --------------
+@q(
+    "row_number_ordinals",
+    """
+    SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS ordinal
+    FROM events
+    """,
+)
+def row_number_ordinals(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).cast("long").alias("ordinal"))
+
+
+# -- min-normalized indices (extraction/service.py:571-603) -------------------
+@q(
+    "min_normalized_index",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey - MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT)
+             AS key_offset
+    FROM orders
+    """,
+)
+def min_normalized_index(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.min("o_orderkey").over(w)).cast("long").alias("key_offset"),
+    )
+
+
+# -- sequence + explode (holistic segment ranges, classification:2647-2687) ---
+@q(
+    "sequence_explode_ranges",
+    """
+    SELECT n_nationkey, CAST(unnest(generate_series(0, n_nationkey % 3)) AS BIGINT) AS i
+    FROM nation
+    """,
+)
+def sequence_explode_ranges(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(0), F.col("n_nationkey") % 3)).cast("long").alias("i"),
+    )
+
+
+# -- broadcast cost-model join (save_reporting_data.py:841-1067) --------------
+@q(
+    "cost_model_broadcast",
+    """
+    SELECT e.event_type, ROUND(SUM(e.value * p.unit_cost), 6) AS estimated_cost
+    FROM events e
+    JOIN (VALUES ('click', 0.0001), ('view', 0.00005), ('purchase', 0.002),
+                 ('signup', 0.001), ('error', 0.0)) AS p(event_type, unit_cost)
+      ON e.event_type = p.event_type
+    GROUP BY e.event_type
+    """,
+)
+def cost_model_broadcast(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    pricing = spark.createDataFrame(
+        [
+            ("click", 0.0001),
+            ("view", 0.00005),
+            ("purchase", 0.002),
+            ("signup", 0.001),
+            ("error", 0.0),
+        ],
+        "event_type string, unit_cost double",
+    )
+    return (
+        e.join(F.broadcast(pricing), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("unit_cost")), 6).alias("estimated_cost"))
+    )
+
+
+# -- MAX-not-SUM agg discipline (agent.py:212) --------------------------------
+@q(
+    "agg_discipline_max_per_doc",
+    """
+    SELECT o_orderstatus,
+           CAST(MAX(n_items) AS BIGINT) AS max_items_per_order,
+           ROUND(SUM(order_total), 2)   AS total_price
+    FROM (
+      SELECT o.o_orderstatus, o.o_orderkey,
+             COUNT(l.l_linenumber) AS n_items, MAX(o.o_totalprice) AS order_total
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderstatus, o.o_orderkey
+    ) GROUP BY o_orderstatus
+    """,
+)
+def agg_discipline_max_per_doc(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus", "o_orderkey")
+        .agg(
+            F.count("l_linenumber").alias("n_items"),
+            F.max("o_totalprice").alias("order_total"),
+        )
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.max("n_items").cast("long").alias("max_items_per_order"),
+        F.round(F.sum("order_total"), 2).alias("total_price"),
+    )

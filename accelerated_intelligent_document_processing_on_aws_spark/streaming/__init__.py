@@ -1,0 +1,6 @@
+from .ingest import (  # noqa: F401
+    extracted_stream,
+    run_stream_to_parquet,
+    stream_transcripts,
+    windowed_turn_counts,
+)

@@ -1,0 +1,194 @@
+"""Dedup / similarity / text-analysis / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_with_planted_dups(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other text")],
+            "doc_id long, text string",
+        )
+        groups = dedup.exact_duplicates(df)
+        dup = groups.where(F.col("n_docs") > 1).collect()
+        assert len(dup) == 1 and dup[0]["keep_id"] == 1
+        kept = dedup.dedup_exact(df).select("doc_id").collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 3]
+
+    def test_minhash_finds_planted_near_dup(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again " * 5
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about spark shuffle partitions " * 5
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            df, shingle_n=3, num_hashes=32, bands=8, jaccard_threshold=0.4
+        ).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+        assert pairs[0]["jaccard"] > 0.4
+
+    def test_minhash_jaccard_is_exact_on_candidates(self, spark):
+        a = "w1 w2 w3 w4 w5 w6"
+        b = "w1 w2 w3 w4 w5 zz"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        pairs = dedup.minhash_lsh_pairs(
+            df, shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.1
+        ).collect()
+        if pairs:  # LSH may or may not band-collide; if it does, jaccard is exact
+            # shingles: a has 5 bigrams, b has 5, intersect 4, union 6
+            assert pairs[0]["jaccard"] == pytest.approx(4 / 6, abs=1e-6)
+
+    def test_simhash_identical_and_near(self, spark):
+        words = [f"tok{i}" for i in range(40)]
+        t = " ".join(words)
+        df = spark.createDataFrame(
+            [(1, t), (2, t), (3, t.replace("tok7", "zzz"))],
+            "doc_id long, text string",
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+                 dedup.simhash_pairs(df, max_hamming=24).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 24
+
+    def test_ngram_jaccard_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", "g1"), (2, "a b c e", "g1"), (3, "x y z w", "g2")],
+            "doc_id long, text string, source string",
+        )
+        got = dedup.ngram_jaccard_pairs(df, "source", n=2, threshold=0.0).collect()
+        assert len(got) == 1
+        # bigrams: {a b, b c, c d} vs {a b, b c, c e}: 2/4
+        assert got[0]["jaccard"] == pytest.approx(0.5)
+
+    def test_embedding_near_dup(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = dedup.embedding_near_dup(df, threshold=0.95).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+class TestSimilarity:
+    def test_brute_force_self_is_top1(self, emb):
+        q = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = similarity.brute_force_topk(emb, q, k=3)
+        top1 = {r["query_id"]: r["vec_id"] for r in top.where(F.col("rank") == 1).collect()}
+        for qid, vid in top1.items():
+            assert qid == vid  # self-similarity = 1.0
+
+    def test_lsh_recall_reasonable(self, emb):
+        q = emb.limit(8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = similarity.brute_force_topk(emb, q, k=5)
+        approx = similarity.lsh_topk(emb, q, k=5, dim=64, bits=3, n_tables=6)
+        assert similarity.recall_at_k(approx, exact, 5) >= 0.5
+
+    def test_ivf_recall_and_shape(self, emb):
+        q = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cents = similarity.train_centroids(emb, n_centroids=8, sample_fraction=1.0)
+        assert len(cents) == 8 and len(cents[0]) == 64
+        exact = similarity.brute_force_topk(emb, q, k=5)
+        approx = similarity.ivf_topk(emb, q, cents, k=5, nprobe=4)
+        assert similarity.recall_at_k(approx, exact, 5) >= 0.5
+
+
+class TestTextStats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "Hello, world! 42 times")], "doc_id long, text string")
+        r = df.select(
+            textstats.ws_token_count("text").alias("ws"),
+            textstats.bpe_ish_token_count("text").alias("bpe"),
+        ).collect()[0]
+        assert r["ws"] == 4
+        # Hello , world ! 42 times → 6
+        assert r["bpe"] == 6
+
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of the house"),
+                (2, "der hund und die katze nicht hier"),
+                (3, "le chat et les chiens"),
+                (4, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["l"] for r in df.select("doc_id", textstats.lang_id("text").alias("l")).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+    def test_quality_scores_bounded(self, docs):
+        q = textstats.quality_features(docs)
+        r = q.agg(F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")).collect()[0]
+        assert 0.0 <= r["lo"] <= r["hi"] <= 1.0
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+            "doc_id long, text string",
+        )
+        fps = [r["f"] for r in df.select(textstats.fingerprint_md5("text").alias("f")).collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+    def test_kgram_fingerprint_stability(self, spark):
+        base = "a long enough document body that has many k grams inside it"
+        df = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+        fps = [r["f"] for r in df.select(textstats.kgram_min_fingerprint("text").alias("f")).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        feats = multimodal.extract_features(media, dim=8)
+        rows = feats.collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert len(r["feature"]) == 8
+            assert all(0.0 <= x < 1.0 for x in r["feature"])
+            assert r["n_bytes"] > 0 and len(r["sha1"]) == 40
+
+    def test_feature_determinism_across_partitioning(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        a = {r["media_id"]: r["sha1"] for r in multimodal.extract_features(media.repartition(7)).collect()}
+        b = {r["media_id"]: r["sha1"] for r in multimodal.extract_features(media.coalesce(1)).collect()}
+        assert a == b
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx")
+
+    def test_frame_sample_plan(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        plan = multimodal.frame_sample_plan(media, every_ms=1000)
+        joined = plan.groupBy("media_id").count().join(
+            media.select("media_id", "duration_ms"), "media_id"
+        )
+        for r in joined.collect():
+            assert r["count"] == (r["duration_ms"] - 1) // 1000 + 1
