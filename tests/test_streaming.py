@@ -26,6 +26,8 @@ def _write_shards(spark, base, n_shards=3, convs_per_shard=10):
     total = 0
     for s in range(n_shards):
         rows = generate_transcripts(convs_per_shard, seed=100 + s)
+        for r in rows:
+            r["conv_id"] = f"s{s}-{r['conv_id']}"
         cols = {k: [r[k] for r in rows] for k in schema.names}
         pq.write_table(pa.Table.from_pydict(cols, schema=schema), f"{base}/shard{s}.parquet")
         total += len(rows)
