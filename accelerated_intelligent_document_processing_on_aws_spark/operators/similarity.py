@@ -31,11 +31,13 @@ from ..functions.vectors import cosine_sim
 
 
 def _topk_by_query(scored: DataFrame, k: int) -> DataFrame:
+    """Rank on the RAW cosine (deterministic tiebreak on vec_id), round
+    only for output — keeps rank stable across engines/float paths."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
@@ -59,7 +61,7 @@ def brute_force_topk(
     scored = c.crossJoin(q).select(
         "query_id",
         "vec_id",
-        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        cosine_sim(F.col("qv"), F.col("v")).alias("cosine"),
     )
     return _topk_by_query(scored, k)
 
@@ -141,7 +143,7 @@ def lsh_topk(
     scored = cand.dropDuplicates(["query_id", "vec_id"]).select(
         "query_id",
         "vec_id",
-        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        cosine_sim(F.col("qv"), F.col("v")).alias("cosine"),
     )
     return _topk_by_query(scored, k)
 
@@ -240,7 +242,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "list_id").select(
         "query_id",
         "vec_id",
-        F.round(cosine_sim(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        cosine_sim(F.col("qv"), F.col("v")).alias("cosine"),
     )
     return _topk_by_query(scored, k)
 

@@ -458,7 +458,9 @@ def sequence_explode_ranges(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
-        F.explode(F.sequence(F.lit(0), F.col("n_nationkey") % 3)).cast("long").alias("i"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_nationkey") % 3).cast("array<long>")
+        ).alias("i"),
     )
 
 

@@ -1,0 +1,372 @@
+"""Corpus-curation query entries (dedup / text analysis / comparators /
+similarity) with DuckDB oracle twins where ANSI-SQL-expressible.
+
+Parity notes vs DuckDB:
+- DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark's is global).
+- DuckDB ``SUM(int)`` returns HUGEINT → always ``CAST(... AS BIGINT)``.
+- ``list_*`` functions mirror Spark's array functions with set
+  semantics for intersect/distinct.
+- md5 is the only cross-engine hash — engine hashes (xxhash64) stay
+  Spark-side only (those operators get rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim
+from ..operators import dedup, evaluation as ev, textstats
+from ..sources.tables import load_table as _t
+
+ENTRIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        ENTRIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_NORM_SQL = (
+    "lower(trim(regexp_replace(regexp_replace({x}, '[^\\w\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+
+# ---------------------------------------------------------------------------
+# comparators (evaluation/comparator.py semantics, cross-checked in SQL)
+# ---------------------------------------------------------------------------
+
+@q(
+    "compare_exact_normalized",
+    f"""
+    SELECT p_partkey,
+           ({_NORM_SQL.format(x="p_brand")} =
+            {_NORM_SQL.format(x="replace(p_brand, '#', '-')")})   AS brand_selfmatch,
+           ({_NORM_SQL.format(x="p_name")} =
+            {_NORM_SQL.format(x="p_type")})                       AS name_type_match
+    FROM part
+    """,
+)
+def compare_exact_normalized(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        ev.compare_exact(
+            F.col("p_brand"), F.regexp_replace("p_brand", "#", "-")
+        ).alias("brand_selfmatch"),
+        ev.compare_exact(F.col("p_name"), F.col("p_type")).alias("name_type_match"),
+    )
+
+
+@q(
+    "compare_numeric_currency",
+    """
+    SELECT o_orderkey,
+           (TRY_CAST(regexp_replace('$' || printf('%.2f', o_totalprice),
+                                    '[$,()\\s]', '', 'g') AS DOUBLE)
+              = o_totalprice)                                    AS currency_match,
+           (TRY_CAST(regexp_replace('$' || printf('%.2f', o_totalprice),
+                                    '[$,()\\s]', '', 'g') AS DOUBLE)
+              = o_totalprice + 1)                                AS shifted_match
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def compare_numeric_currency(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    cur = F.concat(F.lit("$"), F.format_string("%.2f", F.col("o_totalprice")))
+    from ..functions.normalize import norm_numeric
+
+    return o.select(
+        "o_orderkey",
+        (norm_numeric(cur) == F.col("o_totalprice")).alias("currency_match"),
+        (norm_numeric(cur) == F.col("o_totalprice") + 1).alias("shifted_match"),
+    )
+
+
+@q(
+    "fuzzy_levenshtein_pairs",
+    f"""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           ROUND(1.0 - levenshtein({_NORM_SQL.format(x="a.p_name")},
+                                   {_NORM_SQL.format(x="b.p_name")})
+                 / GREATEST(length({_NORM_SQL.format(x="a.p_name")}),
+                            length({_NORM_SQL.format(x="b.p_name")})), 4) AS fuzzy
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey % 5 = 0
+    """,
+)
+def fuzzy_levenshtein_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    a = p.alias("a").where(F.col("p_partkey") % 5 == 0)
+    b = p.alias("b")
+    return (
+        a.join(b, (F.col("a.p_size") == F.col("b.p_size")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.round(ev.fuzzy_score(F.col("a.p_name"), F.col("b.p_name")), 4).alias("fuzzy"),
+        )
+    )
+
+
+@q(
+    "evaluation_prf_metrics",
+    """
+    SELECT ROUND(CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN pred THEN 1 ELSE 0 END), 0), 6) AS precision,
+           ROUND(CAST(SUM(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN gold THEN 1 ELSE 0 END), 0), 6) AS recall,
+           COUNT(*) AS n
+    FROM (SELECT contains(text, 'join') AS pred, lang = 'en' AS gold FROM documents)
+    """,
+)
+def evaluation_prf_metrics(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    flagged = d.select(
+        F.col("text").contains("join").alias("pred"), (F.col("lang") == "en").alias("gold")
+    )
+    tp = F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).cast("double")
+    p_all = F.sum(F.when(F.col("pred"), 1).otherwise(0))
+    g_all = F.sum(F.when(F.col("gold"), 1).otherwise(0))
+    return flagged.agg(
+        F.round(tp / F.nullif(p_all, F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(g_all, F.lit(0)), 6).alias("recall"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "embedding_cosine_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3)
+             + 0.0 AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 20 = 0
+    """,
+)
+def embedding_cosine_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.alias("a").where(F.col("vec_id") % 20 == 0)
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 3) + 0.0).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ngram_jaccard_block_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_block_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return dedup.ngram_jaccard_pairs(d, "source", n=2, threshold=0.0)
+
+
+@q(
+    "fingerprint_md5_docs",
+    """
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_md5_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint_md5("text").alias("fingerprint"))
+
+
+@q(
+    "kgram_min_fingerprint_docs",
+    """
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+               FROM documents WHERE doc_id % 4 = 0)
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, GREATEST(length(norm) - 15, 1)),
+             i -> md5(substr(norm, i, 16)))) AS kgram_fp
+    FROM n
+    """,
+)
+def kgram_min_fingerprint_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return d.select("doc_id", textstats.kgram_min_fingerprint("text", 16).alias("kgram_fp"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT)  AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT)                                  AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.ws_token_count("text").cast("long").alias("n_tokens_ws"),
+        textstats.bpe_ish_token_count("text").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+_LANG_CNT = {
+    lang: " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+    )
+    for lang, words in textstats.LANG_MARKERS.items()
+}
+
+@q(
+    "lang_id_pred",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_LANG_CNT['en']} AS c_en, {_LANG_CNT['de']} AS c_de,
+             {_LANG_CNT['fr']} AS c_fr, {_LANG_CNT['es']} AS c_es,
+             {_LANG_CNT['zh']} AS c_zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c_de > 0 AND c_de = GREATEST(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+                WHEN c_en > 0 AND c_en = GREATEST(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+                WHEN c_es > 0 AND c_es = GREATEST(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+                WHEN c_fr > 0 AND c_fr = GREATEST(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+                WHEN c_zh > 0 AND c_zh = GREATEST(c_en, c_de, c_fr, c_es, c_zh) THEN 'zh'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_pred(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id("text").alias("pred_lang"))
+
+
+_STOP_SQL = "['" + "','".join(textstats.STOPWORDS_EN) + "']"
+
+@q(
+    "quality_scores",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_chars, n_punct, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_token_len
+      FROM f
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6)
+             AS punct_ratio,
+           ROUND(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END, 6)
+             AS stopword_ratio,
+           ROUND(mean_token_len, 6) AS mean_token_len,
+           ROUND(LEAST(n_tokens/100.0, 1.0)*0.4
+                 + (1.0 - LEAST(CASE WHEN n_chars > 0
+                                     THEN CAST(n_punct AS DOUBLE)/n_chars
+                                     ELSE 0.0 END * 5.0, 1.0))*0.2
+                 + LEAST(CASE WHEN n_tokens > 0
+                              THEN CAST(n_stop AS DOUBLE)/n_tokens
+                              ELSE 0.0 END * 4.0, 1.0)*0.2
+                 + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                        THEN 1.0 ELSE 0.0 END*0.2, 6) AS quality_score
+    FROM g
+    """,
+)
+def quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(d).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "mean_token_len", "quality_score"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@q(
+    "ann_bruteforce_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 8
+    ), ranked AS (
+      SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos, 3) + 0.0 AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(e, qs, k=5)
+    # re-round to 3dp for cross-engine float tolerance
+    return out.select(
+        "query_id", "vec_id", (F.round("cosine", 3) + 0.0).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -1,0 +1,155 @@
+"""Pipeline query entries — the transcript extraction engine itself.
+
+These exercise the kernel (pandas-UDF HTML/layout extraction),
+window segmentation, lineage, alerts, and the non-SQL dedup/ANN paths.
+They are NOT ANSI-SQL-expressible (custom kernel / engine-hash
+operators), so they carry no DuckDB oracle: the driver records a
+rows-only check, and the real correctness gate for the kernel is the
+pytest byte-equality suite against the pure-Python oracle
+(tests/test_pipeline_spark.py).
+
+Each callable synthesizes its deterministic transcript input via the
+seeded generator — sf_dir scales the conversation count so the check
+grows with the driver's chosen scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..fixtures.transcripts import generate_transcripts
+from ..operators import dedup, segmentation as seg, similarity
+from ..operators.extract import alerts, drop_internal, extract_turns, lineage
+from ..sources.tables import load_table as _t
+
+ENTRIES: dict = {}
+
+
+def q(name: str):
+    def deco(fn):
+        ENTRIES[name] = (fn, None)
+        return fn
+
+    return deco
+
+
+def _convs_for(sf_dir: str) -> int:
+    if "0.1" in sf_dir and "0.01" not in sf_dir and "0.001" not in sf_dir:
+        return 800
+    if "0.01" in sf_dir:
+        return 300
+    return 100
+
+
+def _transcripts(spark, sf_dir: str):
+    rows = generate_transcripts(_convs_for(sf_dir), seed=42)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp",
+    )
+
+
+@q("pipeline_extract_turns")
+def pipeline_extract_turns(spark, sf_dir):
+    out = drop_internal(extract_turns(_transcripts(spark, sf_dir), salt=8))
+    return out.select(
+        "conv_id", "turn_idx", "payload_kind", "classification", "boundary",
+        "confidence", F.length("extracted_text").alias("text_len"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+@q("pipeline_sections_bio")
+def pipeline_sections_bio(spark, sf_dir):
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    return seg.sections(ext, "llm_determined")
+
+
+@q("pipeline_sections_majority")
+def pipeline_sections_majority(spark, sf_dir):
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    return seg.sections(ext, "disabled")
+
+
+@q("pipeline_lineage")
+def pipeline_lineage(spark, sf_dir):
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    return lineage(ext).select("partition_id", "rows_in", "rows_out")
+
+
+@q("pipeline_confidence_alerts")
+def pipeline_confidence_alerts(spark, sf_dir):
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    return alerts(ext, threshold=0.9)
+
+
+@q("pipeline_section_text")
+def pipeline_section_text(spark, sf_dir):
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    tagged = seg.tag_sections_bio(ext)
+    return seg.section_text(tagged)
+
+
+@q("hungarian_list_compare")
+def hungarian_list_compare(spark, sf_dir):
+    from ..operators.evaluation import hungarian_udf
+
+    # list-attribute pairs derived from the parts table: expected = the
+    # words of p_name, actual = words of a neighboring part's name
+    p = _t(spark, sf_dir, "part")
+    a = p.where(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey", F.split("p_name", " ").alias("expected")
+    )
+    b = p.select((F.col("p_partkey") - 1).alias("p_partkey"), F.split("p_name", " ").alias("actual"))
+    pairs = a.join(b, "p_partkey")
+    res = pairs.withColumn("r", hungarian_udf("EXACT")(F.col("expected"), F.col("actual")))
+    return res.select(
+        "p_partkey",
+        F.col("r.tp").alias("tp"),
+        F.col("r.fp").alias("fp"),
+        F.round(F.col("r.avg_score"), 6).alias("avg_score"),
+    )
+
+
+@q("minhash_lsh_near_dup")
+def minhash_lsh_near_dup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, shingle_n=2, num_hashes=32, bands=8, jaccard_threshold=0.3
+    )
+
+
+@q("simhash_near_dup")
+def simhash_near_dup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return dedup.simhash_pairs(d, max_hamming=16)
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(e, qs, k=5, dim=64, bits=4, n_tables=6)
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.train_centroids(e, n_centroids=8, sample_fraction=1.0)
+    return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
+
+
+@q("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, n=96)
+    return multimodal.extract_features(media, dim=8).select(
+        "media_id", "modality", "n_bytes", "sha1"
+    )

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the transcript
+extraction throughput benchmark, then prints ONE JSON line:
+
+  {"metric": "turns_extracted_per_sec", "value": <turns/sec>,
+   "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
+   "turns": N, "extract_sec": S}
+
+The per-query seconds measure a full action (count) over each plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_avg_by_segment",
+    "conditional_agg_pivot",
+    "topk_customers_by_spend",
+    "gaps_islands_sessions",
+    "majority_vote_mode",
+    "union_shards",
+    "anti_join_resume",
+    "dedup_exact_groups",
+    "minhash_lsh_near_dup",
+    "token_counts",
+    "lang_id_pred",
+    "quality_scores",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "fuzzy_levenshtein_pairs",
+]
+
+
+def _bench_corpus_path() -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"transcripts_{BENCH_CONVS}.parquet")
+    if not os.path.exists(path):
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            write_transcripts_parquet,
+        )
+
+        write_transcripts_parquet(path, n_convs=BENCH_CONVS, seed=42)
+    return path
+
+
+def main() -> None:
+    from accelerated_intelligent_document_processing_on_aws_spark.plans import QUERIES
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+        extract_turns,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.sources.session import (
+        get_spark,
+    )
+
+    corpus_path = _bench_corpus_path()
+    spark = get_spark(
+        app_name="idp-spark-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- transcript extraction throughput (the BASELINE.json metric) -----
+    transcripts = spark.read.parquet(corpus_path)
+    n_turns = transcripts.count()
+    t0 = time.perf_counter()
+    extracted = extract_turns(transcripts, num_partitions=CPUS * 4, salt=16)
+    out_rows = extracted.count()
+    extract_sec = time.perf_counter() - t0
+    assert out_rows == n_turns, (out_rows, n_turns)
+    turns_per_sec = n_turns / extract_sec
+
+    # -- headline queries -------------------------------------------------
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "turns_extracted_per_sec",
+                "value": round(turns_per_sec, 1),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "turns": n_turns,
+                "extract_sec": round(extract_sec, 3),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction job.
+
+Usage (the production invocation shape):
+
+  spark-submit --master local[8] --py-files engine.zip \\
+      scripts/extract_job.py --input /path/transcripts.parquet \\
+      --output /path/out --buckets 16
+
+Reads the transcript table, runs the checkpointed extraction (bucket
+waves, manifest resume), writes the extracted + lineage tables, and
+prints one JSON line with the throughput — consumed by
+scripts/scaling_bench.py to evidence N-vs-4N scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--wave-size", type=int, default=16)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--skip-checkpoint", action="store_true",
+                    help="single-shot extraction without bucket waves")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+        drop_internal,
+        extract_turns,
+        lineage,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+        run_checkpointed_extraction,
+    )
+
+    transcripts = spark.read.parquet(args.input)
+    n_turns = transcripts.count()
+
+    t0 = time.perf_counter()
+    if args.skip_checkpoint:
+        extracted = extract_turns(
+            transcripts, num_partitions=cores * 4, salt=args.salt
+        )
+        extracted.cache()
+        n_out = extracted.count()
+        drop_internal(extracted).write.mode("overwrite").parquet(
+            args.output + "/extracted"
+        )
+        lineage(extracted).write.mode("overwrite").parquet(args.output + "/lineage")
+    else:
+        run_checkpointed_extraction(
+            spark,
+            transcripts,
+            args.output,
+            n_buckets=args.buckets,
+            wave_size=args.wave_size,
+            salt=args.salt,
+        )
+        n_out = spark.read.parquet(args.output + "/extracted").count()
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "turns_in": n_turns,
+                "turns_out": n_out,
+                "wall_sec": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

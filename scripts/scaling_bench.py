@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling benchmark (north rule evidence).
+
+A real N-vs-4N executor cluster is unavailable in this sandbox, so the
+same ``spark-submit --py-files`` job runs at two parallelism levels —
+``local[8]`` (N) and ``local[32]`` (4N) — on the SAME input, and this
+script reports throughput at both plus scaling efficiency
+(T_4N / T_N) / 4, writing BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--convs 20000] [--n 8] [--xn 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "accelerated_intelligent_document_processing_on_aws_spark"
+
+
+def build_pyfiles_zip(path: str) -> str:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg_dir = os.path.join(REPO, PKG)
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_at(cores: int, corpus: str, workdir: str, pyfiles: str) -> dict:
+    out = os.path.join(workdir, f"out_{cores}")
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", pyfiles,
+        os.path.join(REPO, "scripts", "extract_job.py"),
+        "--input", corpus,
+        "--output", out,
+        "--skip-checkpoint",
+        "--salt", "16",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    sys.stderr.write(proc.stdout[-4000:] + "\n" + proc.stderr[-4000:] + "\n")
+    raise RuntimeError(f"no JSON from run at local[{cores}]")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=20000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--workdir", default="/tmp/spark_graft_scaling")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    corpus = os.path.join(args.workdir, f"transcripts_{args.convs}.parquet")
+    if not os.path.exists(corpus):
+        sys.path.insert(0, REPO)
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            write_transcripts_parquet,
+        )
+
+        n = write_transcripts_parquet(corpus, n_convs=args.convs, seed=42)
+        print(f"corpus: {n} turns", file=sys.stderr)
+
+    pyfiles = build_pyfiles_zip(os.path.join(args.workdir, "engine.zip"))
+
+    r_n = run_at(args.n, corpus, args.workdir, pyfiles)
+    r_xn = run_at(args.xn, corpus, args.workdir, pyfiles)
+    factor = args.xn / args.n
+    eff = (r_xn["turns_per_sec"] / r_n["turns_per_sec"]) / factor
+
+    result = {
+        "turns": r_n["turns_in"],
+        f"local[{args.n}]": r_n,
+        f"local[{args.xn}]": r_xn,
+        "scaling_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+        "meets_0.8_target": eff >= 0.8,
+    }
+    print(json.dumps(result))
+
+    md = f"""# BENCH/BASELINE — measured throughput & scaling evidence
+
+Per the driver instruction, the north rule's two-cluster-size criterion
+(N vs 4N executors, scaling efficiency >= 0.8) is evidenced by running
+the SAME `spark-submit --py-files` extraction job at two parallelism
+levels on the SAME input in this single-node sandbox.
+
+- Job: `scripts/extract_job.py` (kernel extraction over the seeded
+  synthetic transcript corpus, {r_n['turns_in']} turns, Zipf-skewed
+  conversation lengths, salt=16).
+- Invocation: `spark-submit --master local[{{N}}] --py-files engine.zip ...`
+
+| cluster size (stand-in) | cores | wall sec | turns/sec |
+|---|---|---|---|
+| N  (`local[{args.n}]`)  | {args.n}  | {r_n['wall_sec']}  | {r_n['turns_per_sec']} |
+| 4N (`local[{args.xn}]`) | {args.xn} | {r_xn['wall_sec']} | {r_xn['turns_per_sec']} |
+
+**Scaling efficiency** = (T_4N / T_N) / {factor:g} = **{eff:.3f}**
+(target ≥ 0.8: {"MET" if eff >= 0.8 else "NOT MET"}).
+
+Per-turn text-equality pass rate: 100% (enforced by
+`tests/test_pipeline_spark.py` byte-equality vs the pure-Python oracle;
+`python -m pytest -x -q`).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Replicates the driver's queries()/oracle_sql() DuckDB cross-check
+locally at sf0.001 so parity breaks surface before the round gate."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df):
+    """Canonical sorted-rows/sorted-columns representation."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    if v == 0.0:
+                        v = 0.0  # normalize -0.0
+                    row.append(f"{v:.9g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort()
+    return cols, rows
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(spark, duck, name):
+    got = QUERIES[name](spark, SF).toPandas()
+    want = duck.execute(ORACLES[name]).fetchdf()
+    gc, gr = _canon(got)
+    wc, wr = _canon(want)
+    assert gc == wc, f"{name}: column mismatch {gc} vs {wc}"
+    assert len(gr) == len(wr), f"{name}: row count {len(gr)} vs {len(wr)}"
+    mism = [i for i, (a, b) in enumerate(zip(gr, wr)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} row mismatches; first: "
+        f"spark={gr[mism[0]]} duck={wr[mism[0]]}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    assert len(rows) >= 1
+    assert "classification" in out.columns
