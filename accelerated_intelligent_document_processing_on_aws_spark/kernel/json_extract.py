@@ -1,0 +1,160 @@
+"""JSON extraction & repair from free-form model output.
+
+Reimplements the semantics of the reference's multi-strategy JSON
+extractor (``lib/idp_common_pkg/idp_common/utils/__init__.py:133-270``)
+and truncated-JSON repair (``:658-1038``):
+
+strategies, in order:
+1. fenced code block (```json ... ``` or ``` ... ```),
+2. first balanced-brace object / bracket array via brace matching
+   (string- and escape-aware),
+3. whole-text parse,
+4. truncated repair: close unterminated strings, strip a trailing
+   incomplete member, balance braces/brackets.
+
+Pure Python, deterministic; used inside Arrow-batched kernels.  The
+cheap path for WELL-FORMED payload columns is ``F.from_json`` /
+``F.get_json_object`` (JVM) — this kernel exists for the ragged tail,
+mirroring how the reference only repairs when parsing fails
+(``extraction/service.py:996-1017``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_FENCE = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)
+
+
+def _find_balanced(text: str) -> str | None:
+    """First balanced {...} or [...] span, string-aware."""
+    for opener, closer in (("{", "}"), ("[", "]")):
+        start = text.find(opener)
+        if start < 0:
+            continue
+        depth = 0
+        in_str = False
+        esc = False
+        for i in range(start, len(text)):
+            ch = text[i]
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                continue
+            if ch == '"':
+                in_str = True
+            elif ch == opener:
+                depth += 1
+            elif ch == closer:
+                depth -= 1
+                if depth == 0:
+                    return text[start : i + 1]
+        # unbalanced → candidate for repair
+        return text[start:]
+    return None
+
+
+def repair_truncated(fragment: str) -> str | None:
+    """Best-effort close of a truncated JSON fragment.
+
+    Mirrors the reference's salvage ladder (``utils/__init__.py:658-1038``):
+    close an unterminated string, drop a trailing incomplete member
+    (after the last complete value), then append missing closers.
+    """
+    frag = fragment.rstrip()
+    # close unterminated string
+    in_str = False
+    esc = False
+    stack: list[str] = []
+    for ch in frag:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "{[":
+            stack.append(ch)
+        elif ch in "}]":
+            if stack:
+                stack.pop()
+    candidates = []
+    base = frag + ('"' if in_str else "")
+    closers = "".join("}" if c == "{" else "]" for c in reversed(stack))
+    candidates.append(base + closers)
+    # drop trailing incomplete member: cut back to last , } ] or " then re-close
+    for cut_at in (base.rfind(","), base.rfind("}"), base.rfind("]")):
+        if cut_at > 0:
+            head = base[:cut_at].rstrip()
+            # recompute open stack for the head
+            st: list[str] = []
+            instr = False
+            e2 = False
+            for ch in head:
+                if instr:
+                    if e2:
+                        e2 = False
+                    elif ch == "\\":
+                        e2 = True
+                    elif ch == '"':
+                        instr = False
+                    continue
+                if ch == '"':
+                    instr = True
+                elif ch in "{[":
+                    st.append(ch)
+                elif ch in "}]" and st:
+                    st.pop()
+            if instr:
+                head += '"'
+            candidates.append(head + "".join("}" if c == "{" else "]" for c in reversed(st)))
+    for cand in candidates:
+        try:
+            json.loads(cand)
+            return cand
+        except Exception:
+            continue
+    return None
+
+
+def extract_json(text: str | None) -> tuple[str | None, bool]:
+    """Extract the first JSON value from free text.
+
+    Returns ``(canonical_json_string, repaired_flag)``; (None, False)
+    when nothing salvageable.  Canonical form: compact separators,
+    sorted=False (input order preserved), ensuring cross-run stability.
+    """
+    if not text:
+        return None, False
+    # 1. fenced block
+    m = _FENCE.search(text)
+    candidates = []
+    if m:
+        candidates.append(m.group(1))
+    # 2. balanced braces
+    bal = _find_balanced(text)
+    if bal:
+        candidates.append(bal)
+    # 3. whole text
+    candidates.append(text.strip())
+    for cand in candidates:
+        try:
+            return json.dumps(json.loads(cand), separators=(",", ":")), False
+        except Exception:
+            continue
+    # 4. repair
+    frag = (m.group(1) if m else None) or bal
+    if frag:
+        fixed = repair_truncated(frag)
+        if fixed is not None:
+            return json.dumps(json.loads(fixed), separators=(",", ":")), True
+    return None, False

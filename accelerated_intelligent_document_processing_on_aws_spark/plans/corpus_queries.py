@@ -370,3 +370,65 @@ def ann_bruteforce_topk(spark, sf_dir):
         "query_id", "vec_id", (F.round("cosine", 3) + 0.0).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON / chunking / summarization analogs
+# ---------------------------------------------------------------------------
+
+@q(
+    "json_extract_field",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id % 3 = 0
+    """,
+)
+def json_extract_field(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@q(
+    "chunk_counts",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(generate_series(0, GREATEST(len(toks) - 1, 0), 15)) AS BIGINT)
+             AS n_chunks,
+           array_to_string(toks[1:20], ' ') AS first_chunk
+    FROM t
+    """,
+)
+def chunk_counts(spark, sf_dir):
+    from ..functions.chunking import chunk_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(chunk_spans("text", chunk_size=20, overlap=5)).cast("long").alias("n_chunks"),
+        F.array_join(
+            F.slice(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != ""), 1, 20),
+            " ",
+        ).alias("first_chunk"),
+    )
+
+
+@q(
+    "summarize_head_tokens",
+    """
+    SELECT doc_id,
+           array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       x -> x <> '')[1:12], ' ') AS summary
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def summarize_head_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    return d.select("doc_id", F.array_join(F.slice(toks, 1, 12), " ").alias("summary"))
