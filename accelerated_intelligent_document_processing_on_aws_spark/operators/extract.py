@@ -125,13 +125,14 @@ def extract_turns(
     (pure per-turn work, order restored downstream by window sort).
     """
     df = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    if num_partitions is None:
+        # 2× cores measured fastest for the kernel stage (enough slots to
+        # absorb Zipf stragglers without over-fragmenting Arrow batches)
+        num_partitions = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
     parts = [F.xxhash64("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt))]
-    df = (
-        df.repartition(num_partitions, *parts)
-        if num_partitions
-        else df.repartition(*parts)
+    return df.repartition(num_partitions, *parts).mapInPandas(
+        _kernel_batches, schema=EXTRACTED_SCHEMA
     )
-    return df.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)
 
 
 def lineage(extracted: DataFrame) -> DataFrame:

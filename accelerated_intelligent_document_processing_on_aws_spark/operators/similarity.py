@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,6 +94,30 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return out.cast("int")
 
 
+def srp_buckets_udf(planes_per_table: list[list[list[float]]]):
+    """All tables' SRP buckets in one vectorized numpy pass.
+
+    The pure-Catalyst :func:`srp_bucket` builds a (tables × bits × dim)
+    literal expression tree whose codegen cost dwarfs the arithmetic;
+    one Arrow-batched matmul computes every bucket at ~memory bandwidth.
+    Returns array<int> of length n_tables per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    mats = [np.asarray(p, dtype=np.float64).T for p in planes_per_table]  # dim×bits
+    weights = [1 << np.arange(m.shape[1]) for m in mats]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # n×dim
+        cols = [((M @ mat) > 0) @ w for mat, w in zip(mats, weights)]
+        B = np.stack(cols, axis=1).astype("int32")
+        return pd.Series(list(B))
+
+    return _buckets
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,31 +137,22 @@ def lsh_topk(
     with n_tables at linear candidate cost; the corpus bucketing is
     computable once and persisted in practice (write each table's bucket
     as a column of the embedding table)."""
-    c0 = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    q0 = queries.select(
+    planes = [_projections(dim, bits, seed + t) for t in range(n_tables)]
+    buckets = srp_buckets_udf(planes)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("bk", buckets(F.col("v")))
+    q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-    )
-    c = c0.select(
-        "vec_id",
-        "v",
-        *[
-            srp_bucket(F.col("v"), _projections(dim, bits, seed + t)).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    )
-    q = q0.select(
-        "query_id",
-        "qv",
-        *[
-            srp_bucket(F.col("qv"), _projections(dim, bits, seed + t)).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    )
+    ).withColumn("bk", buckets(F.col("qv")))
     cand = None
     for t in range(n_tables):
         hit = (
             c.alias("c")
-            .join(F.broadcast(q.alias("q")), F.col(f"c.b{t}") == F.col(f"q.b{t}"))
+            .join(
+                F.broadcast(q.alias("q")),
+                F.element_at(F.col("c.bk"), t + 1) == F.element_at(F.col("q.bk"), t + 1),
+            )
             .select("q.query_id", "c.vec_id", "q.qv", "c.v")
         )
         cand = hit if cand is None else cand.unionByName(hit)

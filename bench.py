@@ -79,7 +79,7 @@ def main() -> None:
     transcripts = spark.read.parquet(corpus_path)
     n_turns = transcripts.count()
     t0 = time.perf_counter()
-    extracted = extract_turns(transcripts, num_partitions=CPUS * 4, salt=16)
+    extracted = extract_turns(transcripts, num_partitions=CPUS * 2, salt=16)
     out_rows = extracted.count()
     extract_sec = time.perf_counter() - t0
     assert out_rows == n_turns, (out_rows, n_turns)
