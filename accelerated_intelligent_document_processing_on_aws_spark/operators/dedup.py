@@ -117,13 +117,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
     jaccard ≥ threshold.  Flow: signature (narrow) → explode bands →
     self-join on (band_idx, band_hash) → distinct candidate pairs →
-    verify on the true shingle sets of just the candidates."""
+    verify on the true shingle sets of just the candidates.
+
+    ``max_bucket_size`` drops band buckets above the cap before pair
+    generation — a bucket that big means the band is non-discriminative
+    for this corpus (the "stop-shingle" effect), and its O(bucket²) pair
+    blowup would dominate the job at scale; near-dup pairs in a dropped
+    bucket still collide in the other, more selective bands."""
     rows = num_hashes // bands
     sh = docs.select(
         F.col(id_col).alias("id"),
@@ -134,6 +141,14 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", "b.band_idx", "b.band_hash")
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band_idx", "band_hash")
+            .count()
+            .where(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(small, ["band_idx", "band_hash"])
     cand = (
         banded.alias("l")
         .join(

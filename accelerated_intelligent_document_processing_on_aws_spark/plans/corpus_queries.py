@@ -432,3 +432,72 @@ def summarize_head_tokens(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     return d.select("doc_id", F.array_join(F.slice(toks, 1, 12), " ").alias("summary"))
+
+
+# ---------------------------------------------------------------------------
+# converter analogs (document_converter.py)
+# ---------------------------------------------------------------------------
+
+@q(
+    "csv_markdown_rows",
+    """
+    WITH lines AS (
+      SELECT o_orderkey,
+             o_orderstatus || ',' || o_orderpriority || ',' ||
+             printf('%.2f', o_totalprice) AS csv_line
+      FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT o_orderkey,
+           '| ' || array_to_string(
+             list_transform(string_split(csv_line, ','),
+                            x -> regexp_replace(trim(x), '\\|', '\\\\|', 'g')),
+             ' | ') || ' |' AS md_row,
+           CAST(len(string_split(csv_line, ',')) AS BIGINT) AS n_fields
+    FROM lines
+    """,
+)
+def csv_markdown_rows(spark, sf_dir):
+    from ..sources.converters import csv_fields, markdown_row
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 25 == 0)
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+    )
+    return o.select(
+        "o_orderkey",
+        markdown_row(line).alias("md_row"),
+        F.size(csv_fields(line)).cast("long").alias("n_fields"),
+    )
+
+
+@q(
+    "paginate_lines",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                         x -> x <> ''), chr(10)) AS multiline
+      FROM documents WHERE doc_id % 10 = 0
+    ), pages AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               GREATEST(CAST(ceil(len(string_split(multiline, chr(10)))/10.0) AS INTEGER) - 1,
+                        0))) AS p,
+             string_split(multiline, chr(10)) AS lines
+      FROM t
+    )
+    SELECT doc_id, CAST(p + 1 AS INTEGER) AS page_no,
+           array_to_string(lines[p*10+1 : p*10+10], chr(10)) AS page_text
+    FROM pages
+    """,
+)
+def paginate_lines_q(spark, sf_dir):
+    from ..sources.converters import paginate_lines
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
+    multiline = d.select("doc_id", F.array_join(toks, "\n").alias("multiline"))
+    return paginate_lines(multiline, ["doc_id"], "multiline", lines_per_page=10)

@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--skip-checkpoint", action="store_true",
                     help="single-shot extraction without bucket waves")
+    ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,10 +50,16 @@ def main() -> None:
     transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()
 
+    if not args.no_warmup:
+        # Warm python workers, Arrow serializers, and codegen on a small
+        # slice so the timed run measures steady-state throughput (a real
+        # job amortizes this startup over hours of input).
+        extract_turns(transcripts.limit(20000), salt=args.salt).count()
+
     t0 = time.perf_counter()
     if args.skip_checkpoint:
         extracted = extract_turns(
-            transcripts, num_partitions=cores * 4, salt=args.salt
+            transcripts, num_partitions=cores * 2, salt=args.salt
         )
         extracted.cache()
         n_out = extracted.count()

@@ -48,6 +48,11 @@ def run_at(cores: int, corpus: str, workdir: str, pyfiles: str) -> dict:
         "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4000",
+        # split the (snappy-compact) scan so it parallelizes past a few tasks
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
+        # shuffle on tmpfs: the salted repartition must not be disk-bound
+        "--conf", "spark.local.dir=/dev/shm/spark-local",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--py-files", pyfiles,
@@ -67,7 +72,7 @@ def run_at(cores: int, corpus: str, workdir: str, pyfiles: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=20000)
+    ap.add_argument("--convs", type=int, default=60000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--xn", type=int, default=32)
     ap.add_argument("--workdir", default="/tmp/spark_graft_scaling")
