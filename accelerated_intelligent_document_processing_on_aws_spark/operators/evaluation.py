@@ -247,3 +247,55 @@ def page_classification_accuracy(pred: DataFrame, gold: DataFrame) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_turns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end evaluation report (evaluation/service.py:1655-1902)
+# ---------------------------------------------------------------------------
+
+def evaluate_extraction(pred: DataFrame, gold: DataFrame) -> dict:
+    """Full evaluation report: predicted vs golden per-turn extraction.
+
+    Joins on (conv_id, turn_idx) and treats each derived field as an
+    'attribute' scored with the matching comparator — classification
+    EXACT, extracted_text FUZZY, confidence NUMERIC — then rolls up to
+    turn/conversation/corpus levels, mirroring the reference's
+    attribute→section→document cascade.  Returns
+    {"attributes", "by_conversation", "overall"} DataFrames."""
+    p = pred.select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("p_text"),
+        F.col("classification").alias("p_cls"),
+        F.col("confidence").cast("string").alias("p_conf"),
+    )
+    g = gold.select(
+        "conv_id",
+        "turn_idx",
+        F.col("extracted_text").alias("g_text"),
+        F.col("classification").alias("g_cls"),
+        F.col("confidence").cast("string").alias("g_conf"),
+    )
+    joined = p.join(g, ["conv_id", "turn_idx"], "full_outer")
+    attrs = None
+    for name, pe, ge, method, weight in (
+        ("extracted_text", "p_text", "g_text", "FUZZY", 2.0),
+        ("classification", "p_cls", "g_cls", "EXACT", 1.0),
+        ("confidence", "p_conf", "g_conf", "NUMERIC_EXACT", 0.5),
+    ):
+        a = joined.select(
+            "conv_id",
+            "turn_idx",
+            F.lit(name).alias("attribute_name"),
+            F.col(ge).alias("expected"),
+            F.col(pe).alias("actual"),
+            F.lit(method).alias("evaluation_method"),
+            F.lit(weight).alias("weight"),
+        )
+        attrs = a if attrs is None else attrs.unionByName(a)
+    scored = attribute_eval(attrs)
+    return {
+        "attributes": scored,
+        "by_conversation": rollup_metrics(scored, ["conv_id"]),
+        "overall": rollup_metrics(scored.withColumn("_all", F.lit(1)), ["_all"]).drop("_all"),
+    }

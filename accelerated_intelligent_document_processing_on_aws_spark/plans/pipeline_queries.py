@@ -177,3 +177,39 @@ def text_confidence_table_q(spark, sf_dir):
 
     ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
     return text_confidence_table(ext)
+
+
+@q("pipeline_evaluation_report")
+def pipeline_evaluation_report(spark, sf_dir):
+    """Self-evaluation: distributed extraction vs the pure-Python golden
+    oracle, scored through the comparator cascade.  A fully healthy
+    engine reports precision = recall = 1.0 for every conversation —
+    making this the strongest rows-only determinism check."""
+    from ..kernel.oracle import extract_turn
+    from ..operators.evaluation import evaluate_extraction
+
+    rows = generate_transcripts(_convs_for(sf_dir) // 2, seed=42)
+    pred = extract_turns(
+        spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ),
+        salt=8,
+    )
+    golden = [
+        {
+            "conv_id": r["conv_id"],
+            "turn_idx": r["turn_idx"],
+            **{
+                k: v
+                for k, v in extract_turn(r["text"], r["role"], r["tool"]).items()
+                if k in ("extracted_text", "classification", "confidence")
+            },
+        }
+        for r in rows
+    ]
+    gold = spark.createDataFrame(
+        golden,
+        "conv_id string, turn_idx int, extracted_text string, classification string, confidence double",
+    )
+    return evaluate_extraction(pred, gold)["by_conversation"]

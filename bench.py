@@ -68,10 +68,18 @@ def main() -> None:
     )
 
     corpus_path = _bench_corpus_path()
+    extra = {
+        # parallelize the scan of compact snappy files past a few tasks
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+    }
+    if os.path.isdir("/dev/shm"):
+        # keep the salted repartition shuffle off the disk
+        extra["spark.local.dir"] = "/dev/shm/spark-local"
     spark = get_spark(
         app_name="idp-spark-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 16),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 

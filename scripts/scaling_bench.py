@@ -38,7 +38,7 @@ def build_pyfiles_zip(path: str) -> str:
 
 
 def run_at(cores: int, corpus: str, workdir: str, pyfiles: str) -> dict:
-    out = os.path.join(workdir, f"out_{cores}")
+    out = os.path.join(workdir, f"out_{cores}_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     cmd = [
         "spark-submit",
