@@ -39,7 +39,6 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
 
     from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
-        drop_internal,
         extract_turns,
         lineage,
     )
@@ -61,12 +60,14 @@ def main() -> None:
         extracted = extract_turns(
             transcripts, num_partitions=cores * 2, salt=args.salt
         )
-        extracted.cache()
-        n_out = extracted.count()
-        drop_internal(extracted).write.mode("overwrite").parquet(
-            args.output + "/extracted"
-        )
-        lineage(extracted).write.mode("overwrite").parquet(args.output + "/lineage")
+        # ONE pass: write the extracted table (internal lineage columns
+        # included — they are two narrow numerics).  Lineage then
+        # aggregates from the written files with column pruning, and the
+        # row count is parquet metadata — no multi-GB .cache() in heap.
+        extracted.write.mode("overwrite").parquet(args.output + "/extracted")
+        back = spark.read.parquet(args.output + "/extracted")
+        n_out = back.count()
+        lineage(back).write.mode("overwrite").parquet(args.output + "/lineage")
     else:
         run_checkpointed_extraction(
             spark,
