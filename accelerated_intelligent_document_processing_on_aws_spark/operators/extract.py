@@ -114,10 +114,74 @@ def _kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _kernel_batches_arrow(batches):
+    """mapInArrow twin of :func:`_kernel_batches`: builds the output
+    RecordBatch with pyarrow directly, skipping the pandas object-column
+    round-trip (list-of-dict spans are the expensive part)."""
+    import pyarrow as pa
+
+    span_t = pa.list_(
+        pa.struct(
+            [
+                ("start", pa.int32()),
+                ("end", pa.int32()),
+                ("kind", pa.string()),
+                ("conf", pa.float64()),
+            ]
+        )
+    )
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        t0 = time.perf_counter()
+        names = batch.schema.names
+        col = {name: batch.column(i) for i, name in enumerate(names)}
+        texts = col["text"].to_pylist()
+        roles = col["role"].to_pylist()
+        tools = col["tool"].to_pylist()
+        ex_text: list[str] = []
+        ex_spans: list[list[dict]] = []
+        ex_cls: list[str] = []
+        ex_bnd: list[str] = []
+        ex_conf: list[float] = []
+        ex_kind: list[str] = []
+        for i in range(n):
+            r = extract_turn(texts[i], roles[i], tools[i])
+            ex_text.append(r["extracted_text"])
+            ex_spans.append(r["spans"])
+            ex_cls.append(r["classification"])
+            ex_bnd.append(r["boundary"])
+            ex_conf.append(r["confidence"])
+            ex_kind.append(r["payload_kind"])
+        row_ms = (time.perf_counter() - t0) * 1000.0 / n
+        yield pa.RecordBatch.from_arrays(
+            [
+                col["conv_id"],
+                col["turn_idx"],
+                col["role"],
+                col["tool"],
+                col["ts"],
+                pa.array(ex_kind, pa.string()),
+                pa.array(ex_text, pa.string()),
+                pa.array(ex_spans, span_t),
+                pa.array(ex_cls, pa.string()),
+                pa.array(ex_bnd, pa.string()),
+                pa.array(ex_conf, pa.float64()),
+                pa.array([pid] * n, pa.int32()),
+                pa.array([row_ms] * n, pa.float64()),
+            ],
+            names=[f.name for f in EXTRACTED_SCHEMA.fields],
+        )
+
+
 def extract_turns(
     transcripts: DataFrame,
     num_partitions: int | None = None,
     salt: int = 16,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Run the extraction kernel over a transcripts DataFrame.
 
@@ -130,9 +194,10 @@ def extract_turns(
         # absorb Zipf stragglers without over-fragmenting Arrow batches)
         num_partitions = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
     parts = [F.xxhash64("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt))]
-    return df.repartition(num_partitions, *parts).mapInPandas(
-        _kernel_batches, schema=EXTRACTED_SCHEMA
-    )
+    df = df.repartition(num_partitions, *parts)
+    if use_arrow:
+        return df.mapInArrow(_kernel_batches_arrow, schema=EXTRACTED_SCHEMA)
+    return df.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)
 
 
 def lineage(extracted: DataFrame) -> DataFrame:
