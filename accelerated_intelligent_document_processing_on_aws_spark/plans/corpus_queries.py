@@ -501,3 +501,46 @@ def paginate_lines_q(spark, sf_dir):
     toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     multiline = d.select("doc_id", F.array_join(toks, "\n").alias("multiline"))
     return paginate_lines(multiline, ["doc_id"], "multiline", lines_per_page=10)
+
+
+# ---------------------------------------------------------------------------
+# rule validation (rule_validation/service.py analog)
+# ---------------------------------------------------------------------------
+
+@q(
+    "rule_validation_summary",
+    """
+    WITH checks AS (
+      SELECT 'status_required' AS rule_name, 'required' AS kind,
+             (o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> '') AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'priority_format', 'regex',
+             COALESCE(regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'), FALSE)
+      FROM orders
+      UNION ALL
+      SELECT 'price_range', 'range',
+             COALESCE(o_totalprice >= 0 AND o_totalprice <= 1000000, FALSE)
+      FROM orders
+      UNION ALL
+      SELECT 'status_one_of', 'one_of',
+             COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE)
+      FROM orders
+    )
+    SELECT rule_name, kind, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+           ROUND(AVG(CASE WHEN passed THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+    FROM checks GROUP BY rule_name, kind
+    """,
+)
+def rule_validation_summary(spark, sf_dir):
+    from ..operators.rules import Rule, summary, validate
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        Rule("status_required", "o_orderstatus", "required"),
+        Rule("priority_format", "o_orderpriority", "regex", pattern=r"^[1-5]-[A-Z ]+$"),
+        Rule("price_range", "o_totalprice", "range", lo=0.0, hi=1_000_000.0),
+        Rule("status_one_of", "o_orderstatus", "one_of", allowed=["O", "F", "P"]),
+    ]
+    return summary(validate(o, rules, ["o_orderkey"]))

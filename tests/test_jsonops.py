@@ -114,3 +114,40 @@ class TestChunking:
         assert sample
         for r in sample:
             assert r["text"] != "" and 0.0 <= r["conf"] <= 1.0
+
+
+class TestRules:
+    def test_rule_kinds(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.rules import (
+            Rule,
+            summary,
+            validate,
+            violations,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "ok", "3-HIGH", 100.0),
+                (2, None, "9-BAD", -5.0),
+                (3, "  ", "1-LOW", 2_000_000.0),
+            ],
+            "id int, status string, prio string, amount double",
+        )
+        rules = [
+            Rule("status_req", "status", "required"),
+            Rule("prio_fmt", "prio", "regex", pattern=r"^[1-5]-[A-Z]+$"),
+            Rule("amt_range", "amount", "range", lo=0.0, hi=1_000_000.0),
+            Rule("status_set", "status", "one_of", allowed=["ok", "bad"]),
+            Rule("prio_len", "prio", "max_length", max_len=6),
+        ]
+        res = validate(df, rules, ["id"])
+        assert res.count() == 15
+        got = {(r["id"], r["rule_name"]): r["passed"] for r in res.collect()}
+        assert got[(1, "status_req")] and not got[(2, "status_req")] and not got[(3, "status_req")]
+        assert got[(1, "prio_fmt")] and not got[(2, "prio_fmt")]
+        assert got[(1, "amt_range")] and not got[(2, "amt_range")] and not got[(3, "amt_range")]
+        assert got[(1, "status_set")] and not got[(3, "status_set")]
+        v = violations(df, rules, ["id"])
+        assert v.count() == 15 - sum(got.values())
+        s = {r["rule_name"]: r for r in summary(res).collect()}
+        assert s["status_req"]["n_checked"] == 3 and s["status_req"]["n_passed"] == 1
