@@ -104,3 +104,23 @@ def with_cost(metering: DataFrame, pricing: DataFrame) -> DataFrame:
         )
         .drop("unit_cost")
     )
+
+
+def overwrite_date_partitions(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Idempotent re-run semantics for a reporting table: replace ONLY
+    the date partitions present in ``df`` (dynamic partition overwrite),
+    leaving other dates untouched — the parquet analog of an Iceberg
+    ``overwritePartitions`` and the reference's day-scoped re-saves."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            with_date(df, ts_col)
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("date")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

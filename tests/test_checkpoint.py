@@ -110,3 +110,40 @@ class TestReporting:
         reporting.write_section_tables(secs, base)
         classes = [d for d in os.listdir(base) if d.startswith("classification=")]
         assert len(classes) >= 2
+
+
+class TestDynamicOverwrite:
+    def test_rerun_same_date_no_duplicates(self, spark, small_corpus, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet(small_corpus).limit(200)
+        extracted = extract_turns(src, salt=2)
+        met = reporting.metering_table(extracted)
+        out = str(tmp_path_factory.mktemp("rep3") / "metering")
+
+        reporting.overwrite_date_partitions(met, out)
+        n1 = spark.read.parquet(out).count()
+        # re-run of the same day must replace, not append
+        reporting.overwrite_date_partitions(met, out)
+        n2 = spark.read.parquet(out).count()
+        assert n1 == n2 == met.count()
+
+    def test_other_dates_untouched(self, spark, small_corpus, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        src = spark.read.parquet(small_corpus).limit(300)
+        extracted = extract_turns(src, salt=2).cache()
+        met = reporting.metering_table(extracted)
+        dates = [r["d"] for r in met.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()]
+        if len(dates) < 2:
+            import pytest as _pytest
+
+            _pytest.skip("corpus slice spans a single date")
+        d0 = sorted(dates)[0]
+        out = str(tmp_path_factory.mktemp("rep4") / "metering")
+        reporting.overwrite_date_partitions(met, out)
+        total = spark.read.parquet(out).count()
+        only_d0 = met.where(F.date_format("ts", "yyyy-MM-dd") == d0)
+        reporting.overwrite_date_partitions(only_d0, out)
+        assert spark.read.parquet(out).count() == total

@@ -197,3 +197,52 @@ class TestSegmentation:
         )
         out = seg.section_text(df).collect()[0]["section_text"]
         assert out == "first\nsecond\nthird"
+
+
+class TestSkewDefusal:
+    def test_salt_splits_giant_conversation(self, spark):
+        """One pathological 3000-turn conversation must spread across
+        kernel tasks instead of hot-spotting one partition (the north
+        rule's salting requirement)."""
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+            extract_turns,
+            lineage,
+        )
+
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        rows = [("conv-giant", i, "user", f"plain text turn {i} with enough words", None, ts)
+                for i in range(3000)]
+        rows += [(f"conv-small-{j}", i, "user", f"tiny {j} {i}", None, ts)
+                 for j in range(50) for i in range(3)]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        ext = extract_turns(df, num_partitions=16, salt=16)
+        lin = lineage(ext).collect()
+        sizes = sorted((r["rows_out"] for r in lin), reverse=True)
+        total = sum(sizes)
+        assert total == 3150
+        # without salting the giant conv (95% of rows) would land in ONE
+        # partition; with salt=16 no partition may hold more than ~1/4
+        assert sizes[0] < total / 4, sizes[:5]
+
+    def test_salt_one_keeps_conv_together(self, spark):
+        """salt=1 degenerates to pure conv-hash partitioning (control)."""
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+            extract_turns,
+            lineage,
+        )
+
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        rows = [("conv-giant", i, "user", f"words {i}", None, ts) for i in range(500)]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        lin = lineage(extract_turns(df, num_partitions=8, salt=1)).collect()
+        assert max(r["rows_out"] for r in lin) == 500
