@@ -54,14 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     extracted = extract_turns(transcripts, salt=4)
     sections = seg.sections(extracted, "llm_determined")
+    # per-(source, class) section stats: one row per source feed gives the
+    # smoke check a real result set, not a single aggregate row
     return (
-        sections.groupBy("classification")
+        sections.groupBy(F.col("conv_id").alias("source"), "classification")
         .agg(
             F.count(F.lit(1)).alias("n_sections"),
             F.sum("n_turns").alias("n_turns"),
             F.round(F.avg("confidence"), 4).alias("avg_confidence"),
         )
-        .orderBy("classification")
+        .orderBy("source", "classification")
     )
 
 
