@@ -544,3 +544,56 @@ def rule_validation_summary(spark, sf_dir):
         Rule("status_one_of", "o_orderstatus", "one_of", allowed=["O", "F", "P"]),
     ]
     return summary(validate(o, rules, ["o_orderkey"]))
+
+
+# ---------------------------------------------------------------------------
+# capstone: the training-data curation pipeline in one plan
+# ---------------------------------------------------------------------------
+
+@q(
+    "curation_pipeline_stats",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20 AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_pipeline_stats(spark, sf_dir):
+    """End-to-end corpus curation: quality gate (min tokens) → language
+    allowlist → exact dedup (fingerprint, keep lowest id) → per-language
+    corpus statistics.  The composition the dedup/textstats operators
+    exist for, in one Catalyst plan."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        textstats.ws_token_count("text").alias("n_tokens"),
+        textstats.fingerprint_md5("text").alias("fp"),
+    )
+    kept = scored.where((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "fr"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
