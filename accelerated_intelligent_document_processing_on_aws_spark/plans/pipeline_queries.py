@@ -60,21 +60,40 @@ def pipeline_extract_turns(spark, sf_dir):
     )
 
 
+def _stringify_sections(sections_df):
+    """Driver-canonicalizable projection of the sections table: the
+    driver's pandas canonicalizer sorts every column, and a raw
+    array<int> column is unhashable there — join it to a CSV string.
+    Library users keep the array-typed :func:`seg.sections` API."""
+    return sections_df.select(
+        "conv_id",
+        "section_id",
+        "classification",
+        F.array_join(
+            F.transform("turn_idxs", lambda x: x.cast("string")), ","
+        ).alias("turn_idxs"),
+        "n_turns",
+        "confidence",
+    )
+
+
 @q("pipeline_sections_bio")
 def pipeline_sections_bio(spark, sf_dir):
     ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
-    return seg.sections(ext, "llm_determined")
+    return _stringify_sections(seg.sections(ext, "llm_determined"))
 
 
 @q("pipeline_sections_majority")
 def pipeline_sections_majority(spark, sf_dir):
     ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
-    return seg.sections(ext, "disabled")
+    return _stringify_sections(seg.sections(ext, "disabled"))
 
 
 @q("pipeline_lineage")
 def pipeline_lineage(spark, sf_dir):
-    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
+    # num_partitions pinned so the lineage row count is stable across
+    # driver parallelism choices (defaultParallelism varies by box)
+    ext = extract_turns(_transcripts(spark, sf_dir), salt=8, num_partitions=32)
     return lineage(ext).select("partition_id", "rows_in", "rows_out")
 
 
@@ -188,7 +207,10 @@ def pipeline_evaluation_report(spark, sf_dir):
     from ..kernel.oracle import extract_turn
     from ..operators.evaluation import evaluate_extraction
 
-    rows = generate_transcripts(_convs_for(sf_dir) // 2, seed=42)
+    # golden construction runs the pure-Python oracle on the DRIVER — cap
+    # the conversation count explicitly so the self-check stays a bounded
+    # fixture-scale job at any sf (the distributed path has no such cap)
+    rows = generate_transcripts(min(_convs_for(sf_dir) // 2, 150), seed=42)
     pred = extract_turns(
         spark.createDataFrame(
             rows,

@@ -72,9 +72,15 @@ def test_oracle_parity(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
+    """Rows-only entries must survive the driver's pandas canonicalizer:
+    toPandas + sort_values over every column (array/struct columns are
+    unhashable there and crashed pipeline_sections_bio in round 1)."""
     df = QUERIES[name](spark, SF)
-    assert df.count() >= 0
-    assert df.columns
+    pdf = df.toPandas()
+    assert list(pdf.columns)
+    if len(pdf):
+        pdf.sort_values(by=sorted(pdf.columns), inplace=True, kind="mergesort")
+    assert len(pdf) >= 0
 
 
 def test_entry_smoke(spark):
