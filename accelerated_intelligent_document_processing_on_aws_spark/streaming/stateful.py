@@ -4,20 +4,34 @@ The batch engine numbers sections with a window over the whole
 conversation (``operators.segmentation``).  In a stream, a
 conversation's turns arrive across micro-batches, so section numbering
 must carry state: ``applyInPandasWithState`` keyed by ``conv_id`` holds
-``(last_class, last_section_id, last_turn_idx)`` and continues the
-numbering exactly where the previous micro-batch stopped.
+``(last_class, last_section_id, last_turn_idx, reorder buffer)`` and
+continues the numbering exactly where the previous micro-batch stopped.
 
 Semantics match the batch BIO rule (new section on class change or
-boundary=='start', reference ``classification/service.py:2138-2214``)
-under the stream contract that a conversation's turns are delivered in
-non-decreasing ``turn_idx`` order across micro-batches (turns within a
-batch are sorted before numbering; regressions in turn order would
-need a reorder buffer + watermark, which the batch path makes
-unnecessary for this engine's backfill-style usage).
+boundary=='start', reference ``classification/service.py:2138-2214``).
+
+**Out-of-order delivery.**  Spark's file source orders micro-batches by
+file modification time, which is NOT guaranteed to match turn order
+(same-second mtimes tie-break arbitrarily), so a later shard can arrive
+first.  Round 1 treated any ``turn_idx <= last_turn`` as a duplicate
+and silently dropped it — a correctness bug.  Now:
+
+- turns ahead of the emission frontier are **buffered in state** and
+  emitted once their predecessors arrive (output therefore equals the
+  batch result for any delivery order of a contiguous 0-based
+  conversation — the engine's transcript contract);
+- true duplicate deliveries (already emitted or already buffered) are
+  **counted** in state (``n_dups``, surfaced by :func:`state_metrics`
+  on the emitted rows via the ``pending_after`` / ``dups_after``
+  columns) — idempotent skip, never silent;
+- a reorder buffer above ``max_pending`` raises ``RuntimeError`` —
+  an upstream gap (a genuinely missing turn) must fail the job loudly,
+  never emit mis-numbered sections.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -31,6 +45,11 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("classification", T.StringType()),
         T.StructField("section_id", T.IntegerType()),
+        # state visibility: buffer depth / duplicate count AFTER this
+        # batch's processing — lets a monitoring sink alert on reorder
+        # pressure instead of the operator hiding it
+        T.StructField("pending_after", T.IntegerType()),
+        T.StructField("dups_after", T.IntegerType()),
     ]
 )
 
@@ -39,8 +58,12 @@ STATE_SCHEMA = T.StructType(
         T.StructField("last_class", T.StringType()),
         T.StructField("last_section", T.IntegerType()),
         T.StructField("last_turn", T.IntegerType()),
+        T.StructField("pending_json", T.StringType()),
+        T.StructField("n_dups", T.IntegerType()),
     ]
 )
+
+MAX_PENDING_DEFAULT = 100_000
 
 
 def _segment_group(
@@ -50,25 +73,55 @@ def _segment_group(
 ) -> Iterator[pd.DataFrame]:
     conv_id = key[0]
     if state.exists:
-        last_class, last_section, last_turn = state.get
+        last_class, last_section, last_turn, pending_json, n_dups = state.get
+        pending: dict[int, tuple] = {
+            int(k): tuple(v) for k, v in json.loads(pending_json).items()
+        }
     else:
         last_class, last_section, last_turn = None, 0, -1
-    out_rows: list[tuple] = []
+        pending, n_dups = {}, 0
+
     for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
         for turn_idx, cls, boundary in zip(
             pdf["turn_idx"], pdf["classification"], pdf["boundary"]
         ):
-            if turn_idx <= last_turn:
-                continue  # duplicate delivery: drop (idempotent)
-            if last_class is None or cls != last_class or boundary == "start":
-                last_section += 1
-            last_class = cls
-            last_turn = int(turn_idx)
-            out_rows.append((conv_id, int(turn_idx), cls, last_section))
-    state.update((last_class, last_section, last_turn))
+            ti = int(turn_idx)
+            if ti <= last_turn or ti in pending:
+                n_dups += 1  # duplicate delivery: idempotent skip, counted
+                continue
+            pending[ti] = (cls, boundary)
+
+    if len(pending) > MAX_PENDING_DEFAULT:
+        raise RuntimeError(
+            f"conv {conv_id}: reorder buffer {len(pending)} exceeds "
+            f"{MAX_PENDING_DEFAULT} — upstream turn gap, refusing to emit "
+            "mis-numbered sections"
+        )
+
+    # drain the contiguous frontier (turn indices are 0-based contiguous
+    # per the transcript contract; anything later waits for predecessors)
+    out_rows: list[tuple] = []
+    while (last_turn + 1) in pending:
+        ti = last_turn + 1
+        cls, boundary = pending.pop(ti)
+        if last_class is None or cls != last_class or boundary == "start":
+            last_section += 1
+        last_class = cls
+        last_turn = ti
+        out_rows.append((conv_id, ti, cls, last_section))
+
+    state.update(
+        (
+            last_class,
+            last_section,
+            last_turn,
+            json.dumps({str(k): list(v) for k, v in pending.items()}),
+            n_dups,
+        )
+    )
     yield pd.DataFrame(
-        out_rows, columns=["conv_id", "turn_idx", "classification", "section_id"]
+        [(c, t, cl, s, len(pending), n_dups) for c, t, cl, s in out_rows],
+        columns=[f.name for f in OUTPUT_SCHEMA.fields],
     )
 
 

@@ -68,69 +68,109 @@ class TestStreamingIngest:
         }
 
 
+# classes: a a b b | b a a a  → sections 1 1 2 2 | 2 3 3 3(start→4)
+_TURNS = [
+    (0, "a", "continue"), (1, "a", "continue"),
+    (2, "b", "continue"), (3, "b", "continue"),
+    (4, "b", "continue"), (5, "a", "continue"),
+    (6, "a", "continue"), (7, "a", "start"),
+]
+_WANT = {0: 1, 1: 1, 2: 2, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4}
+
+
+def _write_turn_shards(shard_dir, chunks, mtimes):
+    """Write each chunk as one parquet shard with an EXPLICIT distinct
+    mtime — Spark's file source orders micro-batches by mtime, and
+    same-second mtimes made shard order nondeterministic in round 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+         ("classification", pa.string()), ("boundary", pa.string())]
+    )
+    shard_dir.mkdir(exist_ok=True)
+    for si, (chunk, mt) in enumerate(zip(chunks, mtimes)):
+        path = str(shard_dir / f"shard{si}.parquet")
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "conv_id": ["c1"] * len(chunk),
+                    "turn_idx": [t[0] for t in chunk],
+                    "classification": [t[1] for t in chunk],
+                    "boundary": [t[2] for t in chunk],
+                },
+                schema=schema,
+            ),
+            path,
+        )
+        os.utime(path, (mt, mt))
+
+
+def _run_sections_stream(spark, shard_dir, tmp_path, sub):
+    from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+        streaming_sections,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, classification string, boundary string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(shard_dir))
+    )
+    out_dir = str(tmp_path / f"out_{sub}")
+    q = (
+        streaming_sections(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{sub}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir).collect()
+
+
 class TestStatefulSegmentation:
     def test_sections_continue_across_microbatches(self, spark, tmp_path):
         """Turns of one conversation split across two shards (delivered as
-        two micro-batches) must get ONE continuous section numbering equal
-        to the batch BIO result."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from datetime import datetime, timezone
-
-        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
-            streaming_sections,
-        )
-
-        ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
-        # classes: a a b b | b a a a  → sections 1 1 2 2 | 2 3 3 3
-        turns = [
-            (0, "a", "continue"), (1, "a", "continue"),
-            (2, "b", "continue"), (3, "b", "continue"),
-            (4, "b", "continue"), (5, "a", "continue"),
-            (6, "a", "continue"), (7, "a", "start"),
-        ]
-        want = {0: 1, 1: 1, 2: 2, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4}
-
+        two micro-batches, in order) must get ONE continuous section
+        numbering equal to the batch BIO result."""
         shard_dir = tmp_path / "shards"
-        shard_dir.mkdir()
-        schema = pa.schema(
-            [("conv_id", pa.string()), ("turn_idx", pa.int32()),
-             ("classification", pa.string()), ("boundary", pa.string())]
+        _write_turn_shards(
+            shard_dir, (_TURNS[:4], _TURNS[4:]), mtimes=(1_700_000_000, 1_700_000_060)
         )
-        for si, chunk in enumerate((turns[:4], turns[4:])):
-            pq.write_table(
-                pa.Table.from_pydict(
-                    {
-                        "conv_id": ["c1"] * len(chunk),
-                        "turn_idx": [t[0] for t in chunk],
-                        "classification": [t[1] for t in chunk],
-                        "boundary": [t[2] for t in chunk],
-                    },
-                    schema=schema,
-                ),
-                str(shard_dir / f"shard{si}.parquet"),
-            )
+        rows = _run_sections_stream(spark, shard_dir, tmp_path, "inorder")
+        got = {r["turn_idx"]: r["section_id"] for r in rows}
+        assert got == _WANT
+        assert all(r["dups_after"] == 0 for r in rows)
 
-        stream = (
-            spark.readStream.schema(
-                "conv_id string, turn_idx int, classification string, boundary string"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(str(shard_dir))
+    def test_out_of_order_shards_buffered_not_dropped(self, spark, tmp_path):
+        """The LATER turns arrive in the FIRST micro-batch (earlier mtime).
+        Round 1 silently dropped the first shard's turns; the reorder
+        buffer must hold turns 4-7 until 0-3 arrive and emit the exact
+        batch numbering."""
+        shard_dir = tmp_path / "shards_ooo"
+        # shard0 = turns 4-7 with the EARLIER mtime → delivered first
+        _write_turn_shards(
+            shard_dir, (_TURNS[4:], _TURNS[:4]), mtimes=(1_700_000_000, 1_700_000_060)
         )
-        out_dir = str(tmp_path / "out")
-        q = (
-            streaming_sections(stream)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        rows = _run_sections_stream(spark, shard_dir, tmp_path, "ooo")
+        got = {r["turn_idx"]: r["section_id"] for r in rows}
+        assert got == _WANT
+
+    def test_duplicate_delivery_counted_not_silent(self, spark, tmp_path):
+        """Redelivering a shard must not re-emit rows, and the duplicate
+        count must surface on the output (no silent data handling)."""
+        shard_dir = tmp_path / "shards_dup"
+        _write_turn_shards(
+            shard_dir,
+            (_TURNS[:4], _TURNS[:4], _TURNS[4:]),
+            mtimes=(1_700_000_000, 1_700_000_060, 1_700_000_120),
         )
-        q.awaitTermination(180)
-        got = {
-            r["turn_idx"]: r["section_id"]
-            for r in spark.read.parquet(out_dir).collect()
-        }
-        assert got == want
+        rows = _run_sections_stream(spark, shard_dir, tmp_path, "dup")
+        got = {r["turn_idx"]: r["section_id"] for r in rows}
+        assert got == _WANT  # each turn exactly once, correct numbering
+        assert max(r["dups_after"] for r in rows) == 4  # redelivered shard counted
