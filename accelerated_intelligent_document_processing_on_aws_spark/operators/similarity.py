@@ -139,23 +139,21 @@ def lsh_topk(
     as a column of the embedding table)."""
     planes = [_projections(dim, bits, seed + t) for t in range(n_tables)]
     buckets = srp_buckets_udf(planes)
-    c = corpus.select(
+    # explode every vector's (table_idx, bucket) pairs ONCE and join once
+    # on the composite key — one pass over the corpus regardless of
+    # n_tables (round 1 ran n_tables separate broadcast joins, each
+    # re-planning the corpus scan + bucket UDF)
+    ce = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("bk", buckets(F.col("v")))
-    q = queries.select(
+    ).select("vec_id", "v", F.posexplode(buckets(F.col("v"))).alias("table_idx", "bucket"))
+    qe = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-    ).withColumn("bk", buckets(F.col("qv")))
-    cand = None
-    for t in range(n_tables):
-        hit = (
-            c.alias("c")
-            .join(
-                F.broadcast(q.alias("q")),
-                F.element_at(F.col("c.bk"), t + 1) == F.element_at(F.col("q.bk"), t + 1),
-            )
-            .select("q.query_id", "c.vec_id", "q.qv", "c.v")
-        )
-        cand = hit if cand is None else cand.unionByName(hit)
+    ).select(
+        "query_id", "qv", F.posexplode(buckets(F.col("qv"))).alias("table_idx", "bucket")
+    )
+    cand = ce.join(F.broadcast(qe), ["table_idx", "bucket"]).select(
+        "query_id", "vec_id", "qv", "v"
+    )
     scored = cand.dropDuplicates(["query_id", "vec_id"]).select(
         "query_id",
         "vec_id",

@@ -141,8 +141,11 @@ def minhash_lsh_near_dup(spark, sf_dir):
 
 @q("simhash_near_dup")
 def simhash_near_dup(spark, sf_dir):
+    # max_hamming=7 → 8 disjoint 8-bit chunks: full pigeonhole recall at
+    # this threshold (round 1 asked for 16 with only 4 chunks, silently
+    # missing hamming-4..16 pairs that shared no 16-bit chunk)
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
-    return dedup.simhash_pairs(d, max_hamming=16)
+    return dedup.simhash_pairs(d, max_hamming=7)
 
 
 @q("ann_lsh_topk")
