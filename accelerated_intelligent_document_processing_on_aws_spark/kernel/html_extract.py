@@ -164,6 +164,8 @@ def _fast_events(html: str, handler: "_Extractor") -> None:
     n = len(html)
     find = html.find
     match = _FAST_TAG.match
+    lowered = None  # built at most ONCE, on the first raw-text element
+                    # (per-element html.lower() was O(n²) on script-heavy payloads)
     data_cb = handler.handle_data
     start_cb = handler.handle_starttag
     end_cb = handler.handle_endtag
@@ -202,7 +204,9 @@ def _fast_events(html: str, handler: "_Extractor") -> None:
             end_cb(tag)
         elif tag in _RAWTEXT:
             # raw-text elements: skip to the closing tag verbatim
-            close = html.lower().find(f"</{tag}", pos)
+            if lowered is None:
+                lowered = html.lower()
+            close = lowered.find(f"</{tag}", pos)
             if close < 0:
                 break
             gt = find(">", close)

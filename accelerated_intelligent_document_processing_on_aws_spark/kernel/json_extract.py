@@ -25,6 +25,7 @@ import json
 import re
 
 _FENCE = re.compile(r"```(?:json)?\s*(.*?)```", re.DOTALL)
+_FENCE_ANY = re.compile(r"```(?:json|yaml|yml)?\s*(.*?)```", re.DOTALL)
 
 
 def _find_balanced(text: str) -> str | None:
@@ -124,6 +125,104 @@ def repair_truncated(fragment: str) -> str | None:
         except Exception:
             continue
     return None
+
+
+try:  # optional, like the reference's guarded import (utils/__init__.py:30-36)
+    import yaml as _yaml
+except ImportError:  # pragma: no cover - present in this sandbox
+    _yaml = None
+
+_YAML_PATTERNS = (
+    re.compile(r"^\s*\w+\s*:", re.MULTILINE),  # key: value at line start
+    re.compile(r"^\s*-\s+", re.MULTILINE),  # list items
+    re.compile(r":\s*\n\s+"),  # multiline values
+)
+
+
+def _yaml_load(text: str):
+    """YAML parse → python value, or raise.  Uses pyyaml when importable;
+    otherwise a minimal flat ``key: value`` subset so format detection
+    still works without the dependency."""
+    if _yaml is not None:
+        return _yaml.safe_load(text)
+    out = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if ":" not in line:
+            raise ValueError(f"not flat yaml: {line!r}")
+        k, _, v = line.partition(":")
+        out[k.strip()] = v.strip() or None
+    return out
+
+
+def detect_format(text: str | None) -> str:
+    """'json' | 'yaml' | 'unknown' — the reference's detection ladder
+    (``utils/__init__.py:442-533``): fenced-block markers, the ``---``
+    document marker, JSON structural check, YAML structural patterns,
+    then try-both preferring JSON."""
+    if not text or not text.strip():
+        return "unknown"
+    t = text.strip()
+    low = t.lower()
+    if "```json" in low:
+        return "json"
+    if "```yaml" in low or "```yml" in low:
+        return "yaml"
+    if t.startswith("---"):
+        return "yaml"
+    if (t.startswith("{") and t.endswith("}")) or (t.startswith("[") and t.endswith("]")):
+        try:
+            json.loads(t)
+            return "json"
+        except Exception:
+            pass
+    for pat in _YAML_PATTERNS:
+        if pat.search(t):
+            try:
+                _yaml_load(t)
+                return "yaml"
+            except Exception:
+                break
+    json_works = yaml_works = False
+    try:
+        json.loads(t)
+        json_works = True
+    except Exception:
+        pass
+    try:
+        parsed = _yaml_load(t)
+        yaml_works = isinstance(parsed, (dict, list))  # plain scalars aren't structured
+    except Exception:
+        pass
+    if json_works:
+        return "json"  # prefer JSON when both parse (reference :529)
+    if yaml_works:
+        return "yaml"
+    return "unknown"
+
+
+def extract_structured(text: str | None) -> tuple[str | None, str]:
+    """Format-dispatched extraction: detect JSON vs YAML, parse with the
+    matching parser (YAML re-serialized to canonical JSON), fall back to
+    the JSON repair ladder.  Returns (canonical_json, detected_format).
+    """
+    fmt = detect_format(text)
+    if fmt == "yaml":
+        body = text.strip()
+        m = _FENCE_ANY.search(body)
+        if m:
+            body = m.group(1)
+        try:
+            val = _yaml_load(body)
+            if isinstance(val, (dict, list)):
+                return json.dumps(val, separators=(",", ":")), "yaml"
+        except Exception:
+            pass
+        fmt = "unknown"
+    parsed, _repaired = extract_json(text)
+    return parsed, ("json" if parsed is not None else fmt)
 
 
 def extract_json(text: str | None) -> tuple[str | None, bool]:

@@ -77,14 +77,20 @@ def hungarian_compare(
     comparator: str = "EXACT",
     threshold: float = 0.8,
 ) -> tuple[int, int, float]:
-    """List-vs-list optimal assignment → (tp, fp, mean matched score).
+    """List-vs-list optimal assignment → (tp, fp, mean assigned score).
 
-    Reference semantics (``comparator.py:240-303``): cost = 1 - sim;
-    TP = assigned pairs with sim ≥ threshold; FP = len(actual) - TP;
-    empty edge cases per ``:262-277``.
+    Reference semantics (``comparator.py:240-303``): a 1-vs-1 pair
+    early-returns the RAW score with (1,0)/(0,1) on the threshold
+    (``:266-269``); cost = 1 - sim; TP = assigned pairs with
+    sim ≥ threshold; FP = len(actual) - TP; avg_score averages over ALL
+    assigned pairs, not only the matched ones (``:301``); empty edge
+    cases per ``:272-277``.
     """
     expected = expected or []
     actual = actual or []
+    if len(expected) == 1 and len(actual) == 1:
+        score = item_score(expected[0], actual[0], comparator)
+        return (1, 0, score) if score >= threshold else (0, 1, score)
     if not expected and not actual:
         return 0, 0, 1.0
     if not expected:
@@ -96,8 +102,8 @@ def hungarian_compare(
     sims = [[item_score(e, a, comparator) for a in actual] for e in expected]
     cost = [[1.0 - s for s in row] for row in sims]
     pairs = assign(cost)
-    matched = [sims[r][c] for r, c in pairs if sims[r][c] >= threshold]
-    tp = len(matched)
+    scores = [sims[r][c] for r, c in pairs]
+    tp = sum(1 for s in scores if s >= threshold)
     fp = len(actual) - tp
-    avg = sum(matched) / tp if tp else 0.0
+    avg = sum(scores) / len(scores) if scores else 0.0
     return tp, fp, avg

@@ -69,22 +69,27 @@ def fuzzy_score(a: Column, b: Column) -> Column:
     )
 
 
-def compare_fuzzy(a: Column, b: Column, threshold: float = DEFAULT_FUZZY_THRESHOLD) -> Column:
-    return fuzzy_score(a, b) >= F.lit(threshold)
+def _thr(threshold: float | Column) -> Column:
+    return threshold if isinstance(threshold, Column) else F.lit(threshold)
 
 
-def compare_semantic(a: Column, b: Column, threshold: float = 0.8) -> Column:
+def compare_fuzzy(a: Column, b: Column, threshold: float | Column = DEFAULT_FUZZY_THRESHOLD) -> Column:
+    return fuzzy_score(a, b) >= _thr(threshold)
+
+
+def compare_semantic(a: Column, b: Column, threshold: float | Column = 0.8) -> Column:
     """Deterministic surrogate for the reference's embedding comparator
     (``comparator.py:422-492``): the reference embeds via Bedrock and
     thresholds cosine; our deterministic engine uses fuzzy similarity
     as the stand-in scorer with the same thresholding contract."""
-    return fuzzy_score(a, b) >= F.lit(threshold)
+    return fuzzy_score(a, b) >= _thr(threshold)
 
 
 def compare_values(a: Column, b: Column, method: Column,
-                   threshold: float = DEFAULT_FUZZY_THRESHOLD) -> Column:
+                   threshold: float | Column = DEFAULT_FUZZY_THRESHOLD) -> Column:
     """Method-dispatched comparison (EXACT/NUMERIC_EXACT/FUZZY/SEMANTIC)
-    — the ``compare_values`` dispatcher (``comparator.py:495-593``)."""
+    — the ``compare_values`` dispatcher (``comparator.py:495-593``).
+    ``threshold`` may be a Column for per-row (config-driven) thresholds."""
     return (
         F.when(method == "NUMERIC_EXACT", compare_numeric(a, b))
         .when(method == "FUZZY", compare_fuzzy(a, b, threshold))
@@ -173,6 +178,70 @@ def attribute_eval(df: DataFrame, expected: str = "expected", actual: str = "act
         .otherwise(matched.cast("double"))
     )
     return df.withColumn("matched", matched).withColumn("score", F.round(score, 6))
+
+
+def configured_attribute_eval(
+    pairs: DataFrame,
+    config: DataFrame,
+    default_method: str = "EXACT",
+    default_threshold: float = DEFAULT_FUZZY_THRESHOLD,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Config-driven structured compare — the per-class schema semantics
+    of the reference's Stickler evaluation (``evaluation/service.py:363-612``).
+
+    ``pairs``  — (…, classification, attribute_name, expected, actual).
+    ``config`` — (classification, attribute_name, evaluation_method,
+    threshold, weight): one row per configured attribute of each class,
+    the analog of the per-class JSON-schema properties with
+    ``x-aws-stickler-comparator/threshold/weight`` extensions.
+
+    The config is BROADCAST (a schema table is tiny at any corpus size)
+    and left-joined; attributes with no config row get default
+    method/threshold/weight and ``auto_configured = true`` — mirroring
+    the reference's genson auto-schema for unconfigured fields
+    (``service.py:221-264,396-416``).  ``unexpected`` flags fields the
+    actual output produced that the expected record does not contain —
+    the unexpected-field discovery of the structured compare.
+    Output adds (evaluation_method, threshold, weight, auto_configured,
+    unexpected, matched, score)."""
+    cfg = F.broadcast(
+        config.select(
+            "classification",
+            "attribute_name",
+            F.col("evaluation_method").alias("_cfg_method"),
+            F.col("threshold").alias("_cfg_threshold"),
+            F.col("weight").alias("_cfg_weight"),
+        )
+    )
+    j = pairs.join(cfg, ["classification", "attribute_name"], "left")
+    method = F.coalesce(F.col("_cfg_method"), F.lit(default_method))
+    threshold = F.coalesce(F.col("_cfg_threshold"), F.lit(default_threshold))
+    weight = F.coalesce(F.col("_cfg_weight"), F.lit(default_weight))
+    expected_missing = F.col("expected").isNull() | (
+        F.trim(F.col("expected").cast("string")) == ""
+    )
+    actual_present = F.col("actual").isNotNull() & (
+        F.trim(F.col("actual").cast("string")) != ""
+    )
+    matched = compare_values(F.col("expected"), F.col("actual"), method, threshold)
+    score = (
+        F.when(method.isin("FUZZY", "SEMANTIC"), fuzzy_score(F.col("expected"), F.col("actual")))
+        .otherwise(matched.cast("double"))
+    )
+    return (
+        j.withColumn("evaluation_method", method)
+        .withColumn("threshold", threshold)
+        .withColumn("weight", weight)
+        .withColumn("auto_configured", F.col("_cfg_method").isNull())
+        .withColumn(
+            "unexpected",
+            F.col("_cfg_method").isNull() & expected_missing & actual_present,
+        )
+        .withColumn("matched", matched)
+        .withColumn("score", F.round(score, 6))
+        .drop("_cfg_method", "_cfg_threshold", "_cfg_weight")
+    )
 
 
 def rollup_metrics(attr_eval: DataFrame, keys: list[str]) -> DataFrame:

@@ -200,10 +200,12 @@ def extract_turns(
     return df.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)
 
 
-def lineage(extracted: DataFrame) -> DataFrame:
-    """North-rule lineage table: one row per kernel task partition."""
+def lineage(extracted: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """North-rule lineage table: one row per kernel task partition
+    (× any extra ``by`` columns, e.g. the checkpoint bucket, so lineage
+    partitions line up with the extracted table's layout)."""
     return (
-        extracted.groupBy(F.col("_partition_id").alias("partition_id"))
+        extracted.groupBy(*by, F.col("_partition_id").alias("partition_id"))
         .agg(
             F.count(F.lit(1)).alias("rows_in"),
             F.count("extracted_text").alias("rows_out"),
@@ -229,5 +231,32 @@ def alerts(extracted: DataFrame, threshold: float = 0.8) -> DataFrame:
             "classification",
             "confidence",
             F.lit(threshold).alias("confidence_threshold"),
+        )
+    )
+
+
+def alerts_with_thresholds(
+    extracted: DataFrame, thresholds: DataFrame, default_threshold: float = 0.8
+) -> DataFrame:
+    """Per-class confidence thresholds — the analog of the reference's
+    per-attribute ``x-aws-idp-confidence-threshold`` injection
+    (``assessment/service.py:181-290``): each classification carries its
+    own alert threshold from a broadcast dim table
+    (classification, threshold); unlisted classes use the default."""
+    dim = F.broadcast(
+        thresholds.select(
+            "classification", F.col("threshold").alias("_class_threshold")
+        )
+    )
+    thr = F.coalesce(F.col("_class_threshold"), F.lit(default_threshold))
+    return (
+        extracted.join(dim, "classification", "left")
+        .where(F.col("confidence") < thr)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "classification",
+            "confidence",
+            thr.alias("confidence_threshold"),
         )
     )

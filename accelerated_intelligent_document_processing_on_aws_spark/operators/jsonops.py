@@ -36,6 +36,33 @@ def extract_json_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["json", "repaired"])
 
 
+@pandas_udf(T.StringType())
+def detect_format_udf(text: pd.Series) -> pd.Series:
+    """'json' | 'yaml' | 'unknown' per payload — the format-detection
+    ladder (``utils/__init__.py:442-533``), Arrow-batched."""
+    from ..kernel.json_extract import detect_format
+
+    return text.map(detect_format)
+
+
+_STRUCTURED_RESULT = T.StructType(
+    [
+        T.StructField("json", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+@pandas_udf(_STRUCTURED_RESULT)
+def extract_structured_udf(text: pd.Series) -> pd.DataFrame:
+    """Format-dispatched parse: YAML payloads re-serialize to canonical
+    JSON, everything else goes through the JSON repair ladder."""
+    from ..kernel.json_extract import extract_structured
+
+    out = [extract_structured(t) for t in text]
+    return pd.DataFrame(out, columns=["json", "fmt"])
+
+
 def json_field(col: Column | str, path: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path)

@@ -43,9 +43,33 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("modality", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha1", T.StringType()),
+        # md5 doubles as the cross-engine content fingerprint: it is the
+        # one digest DuckDB also computes, so the driver oracle can
+        # verify the payload plumbing byte-for-byte
+        T.StructField("md5", T.StringType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus: the
+    UTF-8 text bytes stand in for an opaque payload (real corpora carry
+    image/audio bytes here; the plumbing is identical), modality cycles
+    by doc_id.  Gives the multimodal path an oracle-checkable input."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.concat(modality, F.lit("/raw")).alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
 
 
 def decode_image(payload: bytes) -> "object":
@@ -89,6 +113,9 @@ def extract_features(
                     "n_bytes": pdf["payload"].map(lambda p: len(p or b"")),
                     "sha1": pdf["payload"].map(
                         lambda p: hashlib.sha1(p or b"").hexdigest()
+                    ),
+                    "md5": pdf["payload"].map(
+                        lambda p: hashlib.md5(p or b"").hexdigest()
                     ),
                     "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
                 }

@@ -86,6 +86,30 @@ def sections(classified: DataFrame, strategy: str = "llm_determined") -> DataFra
     )
 
 
+def single_class_sections(turns: DataFrame, cls: str) -> DataFrame:
+    """Single-class fast path (``classification/service.py:1847-1884``):
+    when the class config defines exactly ONE class, every turn is that
+    class at confidence 1.0 and each conversation is one section
+    spanning all turns — no classifier runs at all.  A pure projection +
+    one groupBy: the cheapest possible plan, which is the point of the
+    reference's fast path (it skips the backend entirely)."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.sort_array(F.collect_list("turn_idx")).alias("turn_idxs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            F.lit(1).alias("section_id"),
+            F.lit(cls).alias("classification"),
+            "turn_idxs",
+            "n_turns",
+            F.lit(1.0).alias("confidence"),
+        )
+    )
+
+
 def majority_class(classified: DataFrame) -> DataFrame:
     """Per-conversation majority vote with earliest-turn tie-break.
 

@@ -1,0 +1,492 @@
+"""Operator-parity queries with DuckDB oracle twins (round 2).
+
+Round 1 left several operators with only rows-only driver checks
+because their pipeline inputs come from the extraction kernel (not
+SQL-visible).  These queries run the SAME operators over the
+SQL-visible parquet tables so the driver's DuckDB cross-check exercises
+them end-to-end: BIO sections aggregation, section text assembly, the
+single-class fast path, per-class threshold alerts, the config-driven
+structured compare, Hungarian list compare, multimodal payload
+plumbing, the Excel/Word converter analogs, and JSON/YAML format
+detection.
+
+Parity conventions (see corpus_queries): CAST sums to BIGINT, round
+only outputs, ``'g'`` flag on DuckDB regexp_replace, md5 as the only
+cross-engine digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import multimodal, segmentation as seg
+from ..operators.evaluation import configured_attribute_eval, hungarian_udf
+from ..operators.extract import alerts_with_thresholds
+from ..sources import converters
+from ..sources.tables import load_table as _t
+
+ENTRIES: dict = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        ENTRIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_NORM_SQL = (
+    "lower(trim(regexp_replace(regexp_replace({x}, '[^\\w\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+
+def _event_turns(spark, sf_dir):
+    """Events table mapped into the classified-turns shape: conversation
+    = user, turn = event ordered by event_id, classification =
+    event_type — a deterministic, SQL-visible stand-in for the kernel's
+    per-turn output that lets segmentation operators be oracle-checked."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("classification"),
+        F.lit("continue").alias("boundary"),
+        F.floor("value").cast("double").alias("confidence"),
+    )
+
+
+_BIO_SQL_BASE = """
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id AS INT)    AS turn_idx,
+             event_type               AS cls,
+             CAST(FLOOR(value) AS DOUBLE) AS conf,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS flag
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), s AS (
+      SELECT *, CAST(SUM(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING) AS INT) AS section_id
+      FROM t
+    )
+"""
+
+
+@q(
+    "sections_bio_events",
+    _BIO_SQL_BASE
+    + """
+    SELECT conv_id, section_id, MIN(cls) AS classification,
+           string_agg(CAST(turn_idx AS VARCHAR), ',' ORDER BY turn_idx) AS turn_idxs,
+           COUNT(*) AS n_turns,
+           ROUND(AVG(conf), 4) AS confidence
+    FROM s GROUP BY conv_id, section_id
+    """,
+)
+def sections_bio_events(spark, sf_dir):
+    """Full BIO sections table (tag + collect + stats) over SQL-visible
+    turns — the driver-level oracle for the flagship segmentation
+    operator (round 1 had only the gaps-islands count proxy)."""
+    out = seg.sections(_event_turns(spark, sf_dir), "llm_determined")
+    return out.select(
+        "conv_id",
+        "section_id",
+        "classification",
+        F.array_join(F.transform("turn_idxs", lambda x: x.cast("string")), ",").alias(
+            "turn_idxs"
+        ),
+        "n_turns",
+        "confidence",
+    )
+
+
+@q(
+    "section_text_events",
+    _BIO_SQL_BASE
+    + """
+    SELECT conv_id, section_id,
+           string_agg(cls, chr(10) ORDER BY turn_idx) AS section_text
+    FROM s GROUP BY conv_id, section_id
+    """,
+)
+def section_text_events(spark, sf_dir):
+    """Section text assembly (turn texts joined in stable turn order) —
+    oracle twin for ``seg.section_text`` (``extraction/service.py:624-656``)."""
+    turns = _event_turns(spark, sf_dir).withColumn(
+        "extracted_text", F.col("classification")
+    )
+    return seg.section_text(seg.tag_sections_bio(turns))
+
+
+@q(
+    "single_class_sections_events",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           1 AS section_id,
+           'invoice' AS classification,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS turn_idxs,
+           COUNT(*) AS n_turns,
+           CAST(1.0 AS DOUBLE) AS confidence
+    FROM events GROUP BY user_id
+    """,
+)
+def single_class_sections_events(spark, sf_dir):
+    """Single-class fast path (``classification/service.py:1847-1884``):
+    one configured class → every turn that class at confidence 1.0, one
+    section per conversation, no classifier in the plan."""
+    out = seg.single_class_sections(_event_turns(spark, sf_dir), "invoice")
+    return out.select(
+        "conv_id",
+        "section_id",
+        "classification",
+        F.array_join(F.transform("turn_idxs", lambda x: x.cast("string")), ",").alias(
+            "turn_idxs"
+        ),
+        "n_turns",
+        "confidence",
+    )
+
+
+_THRESHOLDS = [("click", 0.4), ("view", 0.2), ("error", 0.9)]
+
+
+@q(
+    "alerts_per_class_threshold",
+    """
+    WITH thr(classification, threshold) AS (
+      VALUES ('click', 0.4), ('view', 0.2), ('error', 0.9)
+    ), turns AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id AS INT) AS turn_idx,
+             event_type AS classification,
+             value / 100.0 AS confidence
+      FROM events
+    )
+    SELECT conv_id, turn_idx, t.classification, confidence,
+           COALESCE(thr.threshold, 0.5) AS confidence_threshold
+    FROM turns t LEFT JOIN thr ON t.classification = thr.classification
+    WHERE confidence < COALESCE(thr.threshold, 0.5)
+    """,
+)
+def alerts_per_class_threshold(spark, sf_dir):
+    """Per-class confidence thresholds from a broadcast dim — the
+    ``x-aws-idp-confidence-threshold`` analog (``assessment/service.py:181-290``)."""
+    e = _t(spark, sf_dir, "events")
+    turns = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("classification"),
+        (F.col("value") / 100.0).alias("confidence"),
+    )
+    thr = spark.createDataFrame(_THRESHOLDS, "classification string, threshold double")
+    return alerts_with_thresholds(turns, thr, default_threshold=0.5)
+
+
+_EVAL_CONFIG = [
+    # classification, attribute_name, evaluation_method, threshold, weight
+    ("1-URGENT", "status", "EXACT", 0.8, 1.0),
+    ("1-URGENT", "totalprice", "NUMERIC_EXACT", 0.8, 2.0),
+    ("1-URGENT", "orderdate", "FUZZY", 0.7, 0.5),
+    ("2-HIGH", "status", "EXACT", 0.8, 1.0),
+    ("2-HIGH", "totalprice", "NUMERIC_EXACT", 0.8, 2.0),
+    ("2-HIGH", "orderdate", "FUZZY", 0.7, 0.5),
+]
+
+
+@q(
+    "stickler_config_eval",
+    f"""
+    WITH cfg(classification, attribute_name, evaluation_method, threshold, weight) AS (
+      VALUES ('1-URGENT','status','EXACT',0.8,1.0),
+             ('1-URGENT','totalprice','NUMERIC_EXACT',0.8,2.0),
+             ('1-URGENT','orderdate','FUZZY',0.7,0.5),
+             ('2-HIGH','status','EXACT',0.8,1.0),
+             ('2-HIGH','totalprice','NUMERIC_EXACT',0.8,2.0),
+             ('2-HIGH','orderdate','FUZZY',0.7,0.5)
+    ), pairs AS (
+      SELECT o_orderkey AS doc_id, o_orderpriority AS classification,
+             a.attribute_name, a.expected, a.actual
+      FROM orders, LATERAL (VALUES
+        ('status', o_orderstatus, lower(o_orderstatus) || '.'),
+        ('totalprice', printf('$%.2f', o_totalprice),
+                       printf('%.2f', o_totalprice
+                              + CASE WHEN o_orderkey % 20 = 10 THEN 1 ELSE 0 END)),
+        ('orderdate', CAST(o_orderdate AS VARCHAR),
+                      substring(CAST(o_orderdate AS VARCHAR), 1, 8)),
+        ('extra_field', NULL, 'surprise-value')
+      ) AS a(attribute_name, expected, actual)
+      WHERE o_orderkey % 10 = 0
+    ), joined AS (
+      SELECT p.*, COALESCE(c.evaluation_method, 'EXACT') AS evaluation_method,
+             COALESCE(c.threshold, 0.8) AS threshold,
+             COALESCE(c.weight, 1.0) AS weight,
+             c.evaluation_method IS NULL AS auto_configured
+      FROM pairs p LEFT JOIN cfg c
+        ON p.classification = c.classification
+       AND p.attribute_name = c.attribute_name
+    ), scored AS (
+      SELECT *,
+        (expected IS NULL OR trim(expected) = '') AND (actual IS NULL OR trim(actual) = '')
+          AS both_empty,
+        {_NORM_SQL.format(x="COALESCE(expected, '')")} AS ne,
+        {_NORM_SQL.format(x="COALESCE(actual, '')")}   AS na,
+        TRY_CAST(regexp_replace(expected, '[$,()\\s]', '', 'g') AS DOUBLE) AS nume,
+        TRY_CAST(regexp_replace(actual,   '[$,()\\s]', '', 'g') AS DOUBLE) AS numa
+      FROM joined
+    ), final AS (
+      SELECT doc_id, classification, attribute_name, evaluation_method,
+             threshold, weight, auto_configured,
+             auto_configured AND (expected IS NULL OR trim(expected) = '')
+               AND actual IS NOT NULL AND trim(actual) <> '' AS unexpected,
+             CASE evaluation_method
+               WHEN 'NUMERIC_EXACT' THEN
+                 CASE WHEN both_empty THEN TRUE
+                      WHEN nume IS NOT NULL AND numa IS NOT NULL THEN nume = numa
+                      ELSE ne = na END
+               WHEN 'FUZZY' THEN
+                 CASE WHEN both_empty THEN TRUE
+                      WHEN length(ne) = 0 OR length(na) = 0 THEN FALSE
+                      ELSE 1.0 - CAST(levenshtein(ne, na) AS DOUBLE)
+                                 / greatest(length(ne), length(na)) >= threshold END
+               ELSE both_empty OR ne = na
+             END AS matched,
+             CASE WHEN evaluation_method = 'FUZZY' THEN
+               ROUND(CASE WHEN both_empty THEN 1.0
+                          WHEN length(ne) = 0 OR length(na) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(levenshtein(ne, na) AS DOUBLE)
+                               / greatest(length(ne), length(na)) END, 6)
+             ELSE NULL END AS fuzzy
+      FROM scored
+    )
+    SELECT doc_id, classification, attribute_name, evaluation_method,
+           threshold, weight, auto_configured, unexpected, matched,
+           COALESCE(fuzzy, CASE WHEN matched THEN 1.0 ELSE 0.0 END) AS score
+    FROM final
+    """,
+)
+def stickler_config_eval(spark, sf_dir):
+    """Config-driven structured compare (``evaluation/service.py:363-612``):
+    per-class attribute config drives comparator/threshold/weight;
+    unconfigured attributes get auto-config defaults; fields present only
+    in the actual output are flagged unexpected."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    attrs = [
+        (
+            "status",
+            F.col("o_orderstatus"),
+            F.concat(F.lower("o_orderstatus"), F.lit(".")),
+        ),
+        (
+            "totalprice",
+            F.concat(F.lit("$"), F.format_string("%.2f", F.col("o_totalprice"))),
+            F.format_string(
+                "%.2f",
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 20 == 10, 1).otherwise(0),
+            ),
+        ),
+        (
+            "orderdate",
+            F.col("o_orderdate").cast("string"),
+            F.substring(F.col("o_orderdate").cast("string"), 1, 8),
+        ),
+        ("extra_field", F.lit(None).cast("string"), F.lit("surprise-value")),
+    ]
+    pairs = None
+    for name, exp, act in attrs:
+        p = o.select(
+            F.col("o_orderkey").alias("doc_id"),
+            F.col("o_orderpriority").alias("classification"),
+            F.lit(name).alias("attribute_name"),
+            exp.cast("string").alias("expected"),
+            act.cast("string").alias("actual"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    config = spark.createDataFrame(
+        _EVAL_CONFIG,
+        "classification string, attribute_name string, evaluation_method string, "
+        "threshold double, weight double",
+    )
+    out = configured_attribute_eval(pairs, config)
+    return out.select(
+        "doc_id",
+        "classification",
+        "attribute_name",
+        "evaluation_method",
+        "threshold",
+        "weight",
+        "auto_configured",
+        "unexpected",
+        "matched",
+        "score",
+    )
+
+
+@q(
+    "hungarian_list_compare",
+    """
+    WITH pairs AS (
+      SELECT e.p_partkey, e.p_name AS en, a.p_name AS an
+      FROM part e JOIN part a ON a.p_partkey = e.p_partkey + 1
+      WHERE e.p_partkey % 7 = 0
+    ), ew AS (
+      SELECT p_partkey, w, COUNT(*) AS c FROM (
+        SELECT p_partkey, unnest(string_split(en, ' ')) AS w FROM pairs
+      ) GROUP BY p_partkey, w
+    ), aw AS (
+      SELECT p_partkey, w, COUNT(*) AS c FROM (
+        SELECT p_partkey, unnest(string_split(an, ' ')) AS w FROM pairs
+      ) GROUP BY p_partkey, w
+    ), inter AS (
+      SELECT ew.p_partkey, CAST(SUM(LEAST(ew.c, aw.c)) AS INT) AS tp
+      FROM ew JOIN aw ON ew.p_partkey = aw.p_partkey AND ew.w = aw.w
+      GROUP BY ew.p_partkey
+    )
+    SELECT p.p_partkey,
+           COALESCE(i.tp, 0) AS tp,
+           CAST(len(string_split(p.an, ' ')) - COALESCE(i.tp, 0) AS INT) AS fp,
+           ROUND(CAST(COALESCE(i.tp, 0) AS DOUBLE)
+                 / LEAST(len(string_split(p.en, ' ')), len(string_split(p.an, ' '))),
+                 6) AS avg_score
+    FROM pairs p LEFT JOIN inter i ON p.p_partkey = i.p_partkey
+    """,
+)
+def hungarian_list_compare(spark, sf_dir):
+    """Hungarian list compare with an EXACT item comparator has a closed
+    form a SQL oracle can check: optimal assignment total = multiset
+    word intersection (tp), assigned pairs = min(|expected|, |actual|),
+    avg_score = tp / assigned (``comparator.py:240-303``)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.where(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey", F.split("p_name", " ").alias("expected")
+    )
+    b = p.select(
+        (F.col("p_partkey") - 1).alias("p_partkey"), F.split("p_name", " ").alias("actual")
+    )
+    pairs = a.join(b, "p_partkey")
+    res = pairs.withColumn("r", hungarian_udf("EXACT")(F.col("expected"), F.col("actual")))
+    return res.select(
+        "p_partkey",
+        F.col("r.tp").alias("tp"),
+        F.col("r.fp").alias("fp"),
+        F.round(F.col("r.avg_score"), 6).alias("avg_score"),
+    )
+
+
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS md5
+    FROM documents
+    """,
+)
+def multimodal_features_docs(spark, sf_dir):
+    """Multimodal payload plumbing over a deterministic binary payload
+    (UTF-8 document bytes): the Arrow-batched feature kernel runs for
+    real; the oracle verifies the byte plumbing via the one cross-engine
+    digest (md5) plus byte counts."""
+    media = multimodal.media_from_documents(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, dim=8).select(
+        "media_id", "modality", "n_bytes", "md5"
+    )
+
+
+@q(
+    "excel_sheet_pages",
+    """
+    WITH rows AS (
+      SELECT o_orderpriority AS sheet_name, o_orderkey,
+             '| ' || CAST(o_orderkey AS VARCHAR) || ' | ' || o_orderstatus || ' | '
+                  || printf('%.2f', o_totalprice) || ' |' AS row_md
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT sheet_name, COUNT(*) AS n_rows,
+           '| o_orderkey | o_orderstatus | price |' || chr(10) ||
+           '| --- | --- | --- |' || chr(10) ||
+           string_agg(row_md, chr(10) ORDER BY o_orderkey) AS page_text
+    FROM rows GROUP BY sheet_name
+    """,
+)
+def excel_sheet_pages(spark, sf_dir):
+    """Excel→pages analog (``document_converter.py:164-221``): sheet =
+    order-priority group, one markdown-table page per sheet."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    rows = o.select(
+        F.col("o_orderpriority").alias("sheet"),
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price"),
+    )
+    return converters.sheets_to_markdown(
+        rows, "sheet", "o_orderkey", ["o_orderkey", "o_orderstatus", "price"]
+    )
+
+
+@q(
+    "word_elements_docs",
+    """
+    WITH lined AS (
+      SELECT doc_id,
+             string_split('# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+                          || chr(10) || chr(10) || '## ' || source, chr(10)) AS l
+      FROM documents WHERE doc_id % 5 = 0
+    ), ex AS (
+      SELECT doc_id AS id, unnest(l) AS line, generate_subscripts(l, 1) AS elem_idx
+      FROM lined
+    )
+    SELECT id, CAST(elem_idx AS INT) AS elem_idx,
+           CASE WHEN trim(line) = '' THEN 'spacing'
+                WHEN regexp_extract(line, '^(#{1,6}) ', 1) <> '' THEN 'heading'
+                ELSE 'paragraph' END AS elem_type,
+           CAST(length(regexp_extract(line, '^(#{1,6}) ', 1)) AS INT) AS heading_level,
+           regexp_replace(line, '^#{1,6} ', '') AS content
+    FROM ex
+    """,
+)
+def word_elements_docs(spark, sf_dir):
+    """Word→formatted-elements analog (``document_converter.py:253-330``)
+    over synthesized multi-line text (heading/paragraph/spacing/heading)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("# Doc "), F.col("doc_id").cast("string")),
+            F.col("text"),
+            F.lit(""),
+            F.concat(F.lit("## "), F.col("source")),
+        ).alias("body"),
+    )
+    return converters.word_elements(lined, "doc_id", "body")
+
+
+@q(
+    "json_yaml_detect",
+    """
+    SELECT event_id,
+           CASE CAST(event_id % 3 AS INT)
+                WHEN 0 THEN 'json' WHEN 1 THEN 'yaml' ELSE 'unknown' END AS fmt
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def json_yaml_detect(spark, sf_dir):
+    """Format-detection ladder (``utils/__init__.py:442-533``): JSON
+    props pass through, a YAML-ified variant detects as yaml, plain
+    prose as unknown."""
+    from ..operators.jsonops import detect_format_udf
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 2 == 0)
+    payload = (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(F.col("event_id") % 3 == 1, F.trim(F.regexp_replace(F.col("props"), r'[{}"]', "")))
+        .otherwise(F.lit("plain prose with no structure at all"))
+    )
+    return e.select("event_id", detect_format_udf(payload).alias("fmt"))

@@ -110,27 +110,6 @@ def pipeline_section_text(spark, sf_dir):
     return seg.section_text(tagged)
 
 
-@q("hungarian_list_compare")
-def hungarian_list_compare(spark, sf_dir):
-    from ..operators.evaluation import hungarian_udf
-
-    # list-attribute pairs derived from the parts table: expected = the
-    # words of p_name, actual = words of a neighboring part's name
-    p = _t(spark, sf_dir, "part")
-    a = p.where(F.col("p_partkey") % 7 == 0).select(
-        "p_partkey", F.split("p_name", " ").alias("expected")
-    )
-    b = p.select((F.col("p_partkey") - 1).alias("p_partkey"), F.split("p_name", " ").alias("actual"))
-    pairs = a.join(b, "p_partkey")
-    res = pairs.withColumn("r", hungarian_udf("EXACT")(F.col("expected"), F.col("actual")))
-    return res.select(
-        "p_partkey",
-        F.col("r.tp").alias("tp"),
-        F.col("r.fp").alias("fp"),
-        F.round(F.col("r.avg_score"), 6).alias("avg_score"),
-    )
-
-
 @q("minhash_lsh_near_dup")
 def minhash_lsh_near_dup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -165,16 +144,6 @@ def ann_ivf_topk(spark, sf_dir):
     )
     cents = similarity.train_centroids(e, n_centroids=8, sample_fraction=1.0)
     return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
-
-
-@q("multimodal_features")
-def multimodal_features(spark, sf_dir):
-    from ..operators import multimodal
-
-    media = multimodal.synth_media(spark, n=96)
-    return multimodal.extract_features(media, dim=8).select(
-        "media_id", "modality", "n_bytes", "sha1"
-    )
 
 
 @q("json_repair_ragged")

@@ -7,12 +7,12 @@ operators, which the driver checks rows-only).
 
 from __future__ import annotations
 
-from . import analytics, corpus_queries, pipeline_queries
+from . import analytics, corpus_queries, parity_queries, pipeline_queries
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for module in (analytics, corpus_queries, pipeline_queries):
+for module in (analytics, corpus_queries, parity_queries, pipeline_queries):
     for name, (fn, sql) in module.ENTRIES.items():
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name}")

@@ -90,9 +90,11 @@ def run_checkpointed_extraction(
         drop_internal(extracted).write.mode("append").partitionBy("bucket").parquet(
             os.path.join(out_dir, "extracted")
         )
-        lin = lineage(extracted.drop("bucket")).withColumn(
-            "bucket", F.lit(min(wave))
-        )
+        # lineage rows carry their REAL bucket (grouped by it) so the
+        # lineage partition layout matches the extracted table — round 1
+        # wrote the whole wave under bucket=min(wave), leaving the other
+        # wave members' lineage partitions empty
+        lin = lineage(extracted, by=("bucket",))
         lin.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(out_dir, "lineage")
         )

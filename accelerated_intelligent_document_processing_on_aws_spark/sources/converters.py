@@ -30,6 +30,74 @@ def markdown_row(col: Column | str, sep: str = ",") -> Column:
     return F.concat(F.lit("| "), F.array_join(fields, " | "), F.lit(" |"))
 
 
+def sheets_to_markdown(
+    rows: DataFrame, sheet_col: str, order_col: str, value_cols: list[str]
+) -> DataFrame:
+    """Excel→pages analog (``document_converter.py:164-221``): each sheet
+    (= group of rows) renders as ONE markdown-table page — header row
+    from the column names, a separator row, then one pipe-row per record
+    in ``order_col`` order.  Returns (sheet_name, n_rows, page_text).
+
+    One shuffle (the groupBy); the markdown rendering is Catalyst
+    string concat, so the page text never passes through Python."""
+    header = "| " + " | ".join(value_cols) + " |"
+    sep = "| " + " | ".join(["---"] * len(value_cols)) + " |"
+    row_md = F.concat(
+        F.lit("| "),
+        F.concat_ws(" | ", *[F.col(c).cast("string") for c in value_cols]),
+        F.lit(" |"),
+    )
+    return (
+        rows.select(
+            F.col(sheet_col).alias("sheet_name"),
+            F.col(order_col).alias("_ord"),
+            row_md.alias("_row_md"),
+        )
+        .groupBy("sheet_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.concat(
+                F.lit(header + "\n" + sep + "\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_ord", "_row_md"))),
+                        lambda s: s["_row_md"],
+                    ),
+                    "\n",
+                ),
+            ).alias("page_text"),
+        )
+    )
+
+
+def word_elements(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Word→formatted-elements analog (``document_converter.py:253-330``):
+    the reference walks docx paragraphs emitting typed elements
+    (heading with level from the 'Heading N' style, spacing, paragraph).
+    The transcript-corpus analog derives the same element stream from
+    markup conventions in plain text: ``#``-prefixed lines are headings
+    (level = number of ``#``), blank lines are spacing, the rest
+    paragraphs.  Returns (id, elem_idx, elem_type, heading_level,
+    content) — pure Catalyst (posexplode + regexp), no Python."""
+    lines = F.split(F.col(text_col), r"\n")
+    hashes = F.regexp_extract(F.col("_line"), r"^(#{1,6}) ", 1)
+    return (
+        docs.select(F.col(id_col).alias("id"), F.posexplode(lines).alias("elem_idx", "_line"))
+        .select(
+            "id",
+            (F.col("elem_idx") + 1).alias("elem_idx"),
+            F.when(F.trim(F.col("_line")) == "", F.lit("spacing"))
+            .when(hashes != "", F.lit("heading"))
+            .otherwise(F.lit("paragraph"))
+            .alias("elem_type"),
+            F.when(hashes != "", F.length(hashes)).otherwise(F.lit(0)).cast("int").alias(
+                "heading_level"
+            ),
+            F.regexp_replace(F.col("_line"), r"^#{1,6} ", "").alias("content"),
+        )
+    )
+
+
 def paginate_lines(df: DataFrame, id_cols: list[str], text_col: str,
                    lines_per_page: int = 10) -> DataFrame:
     """Split a multi-line text column into pages of ``lines_per_page``

@@ -1,0 +1,164 @@
+"""Round-2 operators: single-class fast path, per-class thresholds,
+config-driven structured compare, converter analogs, YAML ladder,
+Hungarian reference parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.json_extract import (
+    detect_format,
+    extract_structured,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.strings import (
+    hungarian_compare,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+    segmentation as seg,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluation import (
+    configured_attribute_eval,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+    alerts_with_thresholds,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.sources import converters
+
+
+class TestSingleClassFastPath:
+    def test_one_section_per_conv_confidence_one(self, spark):
+        turns = spark.createDataFrame(
+            [("c1", 0), ("c1", 2), ("c1", 1), ("c2", 5)],
+            "conv_id string, turn_idx int",
+        )
+        out = {r["conv_id"]: r for r in seg.single_class_sections(turns, "invoice").collect()}
+        assert out["c1"]["section_id"] == 1
+        assert out["c1"]["classification"] == "invoice"
+        assert out["c1"]["turn_idxs"] == [0, 1, 2]
+        assert out["c1"]["confidence"] == 1.0
+        assert out["c2"]["n_turns"] == 1
+
+    def test_plan_has_no_udf_or_classifier(self, spark):
+        turns = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+        plan = seg.single_class_sections(turns, "x")._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # pure projection + hash agg
+
+
+class TestPerClassThresholds:
+    def test_threshold_dispatch_and_default(self, spark):
+        rows = spark.createDataFrame(
+            [("c", 0, "click", 0.35), ("c", 1, "click", 0.45),
+             ("c", 2, "other", 0.45), ("c", 3, "other", 0.55)],
+            "conv_id string, turn_idx int, classification string, confidence double",
+        )
+        thr = spark.createDataFrame([("click", 0.4)], "classification string, threshold double")
+        got = {r["turn_idx"]: r for r in alerts_with_thresholds(rows, thr, 0.5).collect()}
+        assert set(got) == {0, 2}  # 0.35<0.4 click; 0.45<0.5 default
+        assert got[0]["confidence_threshold"] == 0.4
+        assert got[2]["confidence_threshold"] == 0.5
+
+
+class TestConfiguredCompare:
+    def test_unexpected_and_autoconfig_flags(self, spark):
+        pairs = spark.createDataFrame(
+            [
+                ("d1", "invoice", "amount", "$5.00", "5.00"),
+                ("d1", "invoice", "surprise", None, "val"),
+                ("d1", "invoice", "memo", "hello world", "helo world"),
+            ],
+            "doc_id string, classification string, attribute_name string, "
+            "expected string, actual string",
+        )
+        cfg = spark.createDataFrame(
+            [("invoice", "amount", "NUMERIC_EXACT", 0.8, 2.0),
+             ("invoice", "memo", "FUZZY", 0.7, 1.0)],
+            "classification string, attribute_name string, evaluation_method string, "
+            "threshold double, weight double",
+        )
+        got = {r["attribute_name"]: r for r in configured_attribute_eval(pairs, cfg).collect()}
+        assert got["amount"]["matched"] and got["amount"]["weight"] == 2.0
+        assert got["surprise"]["auto_configured"] and got["surprise"]["unexpected"]
+        assert not got["surprise"]["matched"]
+        assert got["memo"]["matched"]  # fuzzy 0.9 >= 0.7
+        assert 0.8 < got["memo"]["score"] < 1.0
+        assert not got["memo"]["auto_configured"]
+
+
+class TestConverterAnalogs:
+    def test_sheets_to_markdown_layout(self, spark):
+        rows = spark.createDataFrame(
+            [("s1", 2, "b"), ("s1", 1, "a"), ("s2", 1, "z")],
+            "sheet string, ord int, val string",
+        )
+        got = {
+            r["sheet_name"]: r
+            for r in converters.sheets_to_markdown(rows, "sheet", "ord", ["ord", "val"]).collect()
+        }
+        assert got["s1"]["page_text"] == (
+            "| ord | val |\n| --- | --- |\n| 1 | a |\n| 2 | b |"
+        )
+        assert got["s1"]["n_rows"] == 2 and got["s2"]["n_rows"] == 1
+
+    def test_word_elements_types(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "# Title\nbody text\n\n## Sub")], "id long, body string"
+        )
+        got = {r["elem_idx"]: r for r in converters.word_elements(docs, "id", "body").collect()}
+        assert [got[i]["elem_type"] for i in (1, 2, 3, 4)] == [
+            "heading", "paragraph", "spacing", "heading",
+        ]
+        assert got[1]["heading_level"] == 1 and got[4]["heading_level"] == 2
+        assert got[1]["content"] == "Title" and got[4]["content"] == "Sub"
+
+
+class TestYamlLadder:
+    @pytest.mark.parametrize(
+        "text,want",
+        [
+            ('{"a": 1}', "json"),
+            ("```json\n{}\n```", "json"),
+            ("```yaml\na: 1\n```", "yaml"),
+            ("--- \na: 1", "yaml"),
+            ("key: value\nother: 2", "yaml"),
+            ("- one\n- two", "yaml"),
+            ("just words here", "unknown"),
+            ("", "unknown"),
+            (None, "unknown"),
+        ],
+    )
+    def test_detect_format(self, text, want):
+        assert detect_format(text) == want
+
+    def test_yaml_reserializes_to_canonical_json(self):
+        js, fmt = extract_structured("a: 1\nb:\n  c: x")
+        assert fmt == "yaml"
+        assert js == '{"a":1,"b":{"c":"x"}}'
+
+    def test_json_preferred_when_both_parse(self):
+        js, fmt = extract_structured('{"a": 1}')
+        assert fmt == "json" and js == '{"a":1}'
+
+    def test_falls_back_to_repair_ladder(self):
+        js, fmt = extract_structured('prefix {"a": [1, 2')  # truncated JSON
+        assert fmt == "json"
+        assert js == '{"a":[1,2]}'
+
+
+class TestHungarianReferenceParity:
+    def test_single_value_early_return_keeps_raw_score(self):
+        # reference comparator.py:266-269: below-threshold single pair
+        # returns (0, 1, raw_score), NOT 0.0
+        tp, fp, avg = hungarian_compare(["hello"], ["help"], "FUZZY", 0.9)
+        assert (tp, fp) == (0, 1)
+        assert 0.0 < avg < 0.9
+
+    def test_avg_over_all_assigned_pairs(self):
+        # 2 expected vs 2 actual, one exact match and one miss:
+        # avg = (1.0 + 0.0) / 2 assigned pairs (reference :301)
+        tp, fp, avg = hungarian_compare(["a", "b"], ["a", "zzz"], "EXACT", 0.8)
+        assert (tp, fp) == (1, 1)
+        assert avg == pytest.approx(0.5)
+
+    def test_empty_edges(self):
+        assert hungarian_compare([], [], "EXACT", 0.8) == (0, 0, 1.0)
+        assert hungarian_compare([], ["x"], "EXACT", 0.8) == (0, 1, 0.0)
+        assert hungarian_compare(["x"], [], "EXACT", 0.8) == (0, 0, 0.0)
