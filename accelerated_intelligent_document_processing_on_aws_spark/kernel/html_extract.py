@@ -162,29 +162,23 @@ def _fast_events(html: str, handler: "_Extractor") -> None:
     paths produce identical blocks."""
     pos = 0
     n = len(html)
-    find = html.find
-    match = _FAST_TAG.match
     lowered = None  # built at most ONCE, on the first raw-text element
                     # (per-element html.lower() was O(n²) on script-heavy payloads)
     data_cb = handler.handle_data
     start_cb = handler.handle_starttag
     end_cb = handler.handle_endtag
     unescape = _html_mod.unescape
-    while pos < n:
-        lt = find("<", pos)
-        if lt < 0:
-            data = html[pos:]
-            if data:
-                data_cb(unescape(data) if "&" in data else data)
-            break
+    # ONE finditer pass: inter-match slices are data (an unmatched '<'
+    # simply stays inside its data slice — handle_data output is
+    # concatenation-equivalent to the old find+match loop, and entities
+    # never span a '<' so per-slice unescape is unaffected)
+    for m in _FAST_TAG.finditer(html):
+        lt = m.start()
+        if lt < pos:
+            continue  # tag text inside a raw-text element already skipped
         if lt > pos:
             data = html[pos:lt]
             data_cb(unescape(data) if "&" in data else data)
-        m = match(html, lt)
-        if m is None:
-            data_cb("<")
-            pos = lt + 1
-            continue
         pos = m.end()
         end_slash, name, blob, self_close = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/PI
@@ -208,10 +202,13 @@ def _fast_events(html: str, handler: "_Extractor") -> None:
                 lowered = html.lower()
             close = lowered.find(f"</{tag}", pos)
             if close < 0:
-                break
-            gt = find(">", close)
+                return  # unterminated raw-text: drop the tail (parser contract)
+            gt = html.find(">", close)
             end_cb(tag)
             pos = n if gt < 0 else gt + 1
+    if pos < n:
+        data = html[pos:]
+        data_cb(unescape(data) if "&" in data else data)
 
 
 def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]]:

@@ -469,6 +469,43 @@ def word_elements_docs(spark, sf_dir):
 
 
 @q(
+    "json_repair_ragged",
+    r"""
+    WITH t AS (
+      SELECT event_id,
+             TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_id,
+           CASE WHEN k >= 10
+                THEN '{"k":' || substring(CAST(k AS VARCHAR), 1, 1) || '}'
+           END AS json,
+           k >= 10 AS repaired
+    FROM t
+    """,
+)
+def json_repair_ragged(spark, sf_dir):
+    """Truncated-JSON repair over deliberately mangled payloads.  The
+    fixture props are ``{"k": N}``, so chopping the last two characters
+    has a closed-form repair the oracle can state: two-digit k keeps its
+    first digit ({"k": 87} → '{"k": 8' → {"k":8}, repaired), one-digit k
+    loses the member entirely (nothing salvageable → NULL/false) —
+    mirroring the reference's strip-incomplete-member rung
+    (``utils/__init__.py:658-1038``)."""
+    from ..operators.jsonops import extract_json_udf
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
+    ragged = e.select(
+        "event_id",
+        F.expr("substring(props, 1, length(props) - 2)").alias("broken"),
+    )
+    res = ragged.withColumn("r", extract_json_udf(F.col("broken")))
+    return res.select(
+        "event_id", F.col("r.json").alias("json"), F.col("r.repaired").alias("repaired")
+    )
+
+
+@q(
     "json_yaml_detect",
     """
     SELECT event_id,

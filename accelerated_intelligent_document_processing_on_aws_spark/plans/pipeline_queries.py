@@ -146,22 +146,6 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
 
 
-@q("json_repair_ragged")
-def json_repair_ragged(spark, sf_dir):
-    """Truncated-JSON repair over deliberately mangled payloads."""
-    from ..operators.jsonops import extract_json_udf
-
-    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 5 == 0)
-    ragged = e.select(
-        "event_id",
-        F.expr("substring(props, 1, length(props) - 2)").alias("broken"),
-    )
-    res = ragged.withColumn("r", extract_json_udf(F.col("broken")))
-    return res.select(
-        "event_id", F.col("r.json").alias("json"), F.col("r.repaired").alias("repaired")
-    )
-
-
 @q("text_confidence_table")
 def text_confidence_table_q(spark, sf_dir):
     from ..functions.chunking import text_confidence_table

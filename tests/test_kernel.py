@@ -167,3 +167,33 @@ class TestGeneratorDeterminism:
 
         assert generate_transcripts(20, seed=42) == generate_transcripts(20, seed=42)
         assert generate_transcripts(20, seed=42) != generate_transcripts(20, seed=43)
+
+
+class TestKernelSnapshot:
+    def test_corpus_output_hash_pinned(self):
+        """Pin the kernel's output over the 300-conv deterministic corpus.
+
+        The distributed byte-equality suite compares Spark output against
+        THIS SAME kernel, so it cannot catch a semantic regression made
+        to the kernel itself; this snapshot can. If a kernel change is
+        intentional, re-pin the hash in the same commit and say why."""
+        import hashlib
+
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            generate_transcripts,
+        )
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel.oracle import (
+            extract_turn,
+        )
+
+        h = hashlib.md5()
+        for r in generate_transcripts(300, seed=9):
+            o = extract_turn(r["text"], r["role"], r["tool"])
+            h.update(
+                repr(
+                    (r["conv_id"], r["turn_idx"], o["payload_kind"],
+                     o["extracted_text"], o["spans"], o["classification"],
+                     o["boundary"], o["confidence"])
+                ).encode()
+            )
+        assert h.hexdigest() == "04b69bf33aa0973c19bf31141dc795a0"
