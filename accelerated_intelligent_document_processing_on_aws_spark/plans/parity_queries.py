@@ -296,16 +296,23 @@ def stickler_config_eval(spark, sf_dir):
         ),
         ("extra_field", F.lit(None).cast("string"), F.lit("surprise-value")),
     ]
-    pairs = None
-    for name, exp, act in attrs:
-        p = o.select(
-            F.col("o_orderkey").alias("doc_id"),
-            F.col("o_orderpriority").alias("classification"),
-            F.lit(name).alias("attribute_name"),
-            exp.cast("string").alias("expected"),
-            act.cast("string").alias("actual"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    # ONE scan: per-row array of attribute structs, exploded — a 4-way
+    # union would re-scan orders once per attribute
+    attr_arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("attribute_name"),
+                exp.cast("string").alias("expected"),
+                act.cast("string").alias("actual"),
+            )
+            for name, exp, act in attrs
+        ]
+    )
+    pairs = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.col("o_orderpriority").alias("classification"),
+        F.explode(attr_arr).alias("a"),
+    ).select("doc_id", "classification", "a.attribute_name", "a.expected", "a.actual")
     config = spark.createDataFrame(
         _EVAL_CONFIG,
         "classification string, attribute_name string, evaluation_method string, "

@@ -14,6 +14,8 @@ partition pruning then serves the date-filtered analytics queries
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,48 @@ def write_section_tables(sections_with_date: DataFrame, base_path: str) -> None:
         .partitionBy("classification", "date")
         .parquet(base_path)
     )
+
+
+def safe_table_name(section_type: str) -> str:
+    """Table-name escaping identical to the reference's Glue path
+    (``save_reporting_data.py:382-384``): ``document_sections_`` prefix,
+    unsafe characters (including '-') replaced with '_'."""
+    return "document_sections_" + re.sub(r"[/\\:*?\"<>|-]", "_", section_type.lower())
+
+
+def register_section_tables(
+    sections_with_date: DataFrame, database: str = "idp_reporting"
+) -> list[str]:
+    """Catalog registration — the Spark-native analog of the reference's
+    Glue table create/update (``save_reporting_data.py:359-415``): each
+    section type becomes a named catalog table partitioned by ``date``,
+    queryable as ``SELECT ... FROM {db}.document_sections_{type}`` —
+    what partition projection buys the reference, the catalog's
+    partition metadata buys Spark (date filters prune to partitions).
+
+    On a warehouse cluster the same call lands in Glue/Hive/Iceberg by
+    pointing ``spark.sql.catalog``/warehouse config there; the logical
+    operation (name escaping, per-type table, date partition key) is
+    identical.  The ``distinct()`` collect is bounded by the class
+    config (a handful of document types), never corpus-sized."""
+    spark = sections_with_date.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    types = [
+        r[0] for r in sections_with_date.select("classification").distinct().collect()
+    ]
+    names = []
+    for t in sorted(types):
+        table = f"{database}.{safe_table_name(t)}"
+        (
+            sections_with_date.where(F.col("classification") == t)
+            .write.mode("append")
+            .format("parquet")
+            .option("compression", "snappy")
+            .partitionBy("date")
+            .saveAsTable(table)
+        )
+        names.append(table)
+    return names
 
 
 def metering_table(extracted: DataFrame) -> DataFrame:

@@ -43,6 +43,11 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "fuzzy_levenshtein_pairs",
+    # round 2 additions
+    "simhash_near_dup",
+    "sections_bio_events",
+    "stickler_config_eval",
+    "single_class_sections_events",
 ]
 
 

@@ -107,11 +107,41 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     add(
         "MinHash LSH near-dup",
-        "Signature is computed scan-side (no shuffle), the self-join "
-        "shuffles only (band_idx, band_hash, id), and the Jaccard verify "
-        "joins back by id — document text never enters a shuffle.",
+        "Signatures come from ONE Arrow-batched numpy pass scan-side "
+        "(ArrowEvalPython feeding posexplode, no shuffle); candidate "
+        "pairs come from ONE groupBy exchange on (band_idx, band_hash) "
+        "with in-bucket combinations (no self-join, no second plan "
+        "evaluation); the Jaccard verify semi-joins candidate ids before "
+        "materializing shingles — document text never enters a shuffle.",
         dedup.minhash_lsh_pairs(docs, shingle_n=2, num_hashes=16, bands=4,
                                 jaccard_threshold=0.5),
+    )
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+        similarity,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    add(
+        "ANN LSH top-k (multi-table, one join)",
+        "Corpus and queries each explode (table_idx, bucket) ONCE; a "
+        "single BroadcastHashJoin on the composite key probes all tables "
+        "in one pass over the corpus (round 1 ran n_tables separate "
+        "joins); exact-cosine rerank after dropDuplicates.",
+        similarity.lsh_topk(emb, qs, k=3, dim=64, bits=4, n_tables=4),
+    )
+
+    add(
+        "Single-class fast path",
+        "Pure projection + one hash-aggregate exchange; NO Python/UDF "
+        "node and no classifier anywhere in the plan — the point of the "
+        "reference's fast path (classification/service.py:1847-1884).",
+        seg.single_class_sections(
+            tdisk.select("conv_id", "turn_idx"), "invoice"
+        ),
     )
 
     add(

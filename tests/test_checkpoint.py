@@ -147,3 +147,36 @@ class TestDynamicOverwrite:
         only_d0 = met.where(F.date_format("ts", "yyyy-MM-dd") == d0)
         reporting.overwrite_date_partitions(only_d0, out)
         assert spark.read.parquet(out).count() == total
+
+
+class TestCatalogRegistration:
+    def test_register_section_tables_queryable_by_name(self, spark, tmp_path):
+        """Glue-registration analog: per-type catalog tables partitioned
+        by date, queryable via spark.sql, reference-identical name
+        escaping (save_reporting_data.py:359-415)."""
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+            register_section_tables,
+            safe_table_name,
+        )
+
+        assert safe_table_name("Sales-Lead") == "document_sections_sales_lead"
+        df = spark.createDataFrame(
+            [("c1", 1, "invoice", "2026-01-01"), ("c1", 2, "sales-lead", "2026-01-01"),
+             ("c2", 1, "invoice", "2026-01-02")],
+            "conv_id string, section_id int, classification string, date string",
+        )
+        db = "idp_test_catalog"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        names = register_section_tables(df, database=db)
+        assert names == [
+            f"{db}.document_sections_invoice",
+            f"{db}.document_sections_sales_lead",
+        ]
+        got = spark.sql(
+            f"SELECT COUNT(*) n FROM {db}.document_sections_invoice WHERE date = '2026-01-02'"
+        ).collect()[0]["n"]
+        assert got == 1
+        # date is a partition column in the catalog metadata
+        cols = {r.name: r for r in spark.catalog.listColumns(f"{db}.document_sections_invoice")}
+        assert cols["date"].isPartition
+        spark.sql(f"DROP DATABASE {db} CASCADE")
