@@ -107,3 +107,24 @@ def hungarian_compare(
     fp = len(actual) - tp
     avg = sum(scores) / len(scores) if scores else 0.0
     return tp, fp, avg
+
+
+def convert_to_list(value) -> list[str]:
+    """String→list coercion, exact reference parity
+    (``evaluation/comparator.py:210-238``): None → []; list → items
+    stringified; a parseable ``[...]`` literal → its items via
+    ``ast.literal_eval``; anything else → ``[str(value)]``."""
+    import ast
+
+    if value is None:
+        return []
+    if isinstance(value, list):
+        return [str(item) for item in value]
+    if isinstance(value, str) and value.startswith("[") and value.endswith("]"):
+        try:
+            parsed = ast.literal_eval(value)
+            if isinstance(parsed, list):
+                return [str(item) for item in parsed]
+        except (ValueError, SyntaxError):
+            pass
+    return [str(value)]

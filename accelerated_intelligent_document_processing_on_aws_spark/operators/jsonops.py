@@ -63,6 +63,85 @@ def extract_structured_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["json", "fmt"])
 
 
+def string_to_list(col: Column | str) -> Column:
+    """String→list coercion (``evaluation/comparator.py:210-238``):
+    NULL → []; a ``[...]`` literal → its items (quotes stripped,
+    whitespace trimmed); anything else → a single-item list.
+
+    Plan-side flavor of the reference's ``ast.literal_eval`` path for
+    FLAT lists of scalars (nested list literals fall back to the
+    single-item branch, same as the reference's SyntaxError fallback);
+    :func:`convert_to_list` in ``kernel/strings.py`` is the exact
+    Python twin used inside kernels."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.trim(c.cast("string"))
+    listish = s.rlike(r"^\[[^\[\]]*\]$")  # flat [...] only
+    inner = F.trim(F.regexp_replace(s, r"^\[\s*|\s*\]$", ""))
+    items = F.transform(
+        F.split(inner, ","),
+        lambda x: F.regexp_replace(F.trim(x), "^[\"']|[\"']$", ""),
+    )
+    return (
+        F.when(c.isNull(), F.array().cast("array<string>"))
+        .when(listish & (inner == ""), F.array().cast("array<string>"))
+        .when(listish, items)
+        .otherwise(F.array(s))
+    )
+
+
+def empty_schema_gate(sections: DataFrame, attr_config: DataFrame):
+    """Empty-schema skip (``extraction/service.py:733-780,1135-1140``):
+    sections whose class has NO configured attributes bypass extraction
+    entirely — empty inference result, zero metering, an explicit
+    ``skipped_due_to_empty_attributes`` flag — while the rest proceed.
+
+    Returns ``(to_extract, skipped)``: the Spark idiom for the
+    reference's early return is a config-driven split, so the expensive
+    path's plan never even sees the skipped rows (the filter sits
+    directly above the scan).  ``attr_config`` is the per-class
+    attribute table (classification, attribute_name, ...), broadcast."""
+    counts = F.broadcast(
+        attr_config.groupBy("classification").agg(
+            F.count(F.lit(1)).alias("n_attributes")
+        )
+    )
+    tagged = sections.join(counts, "classification", "left").withColumn(
+        "n_attributes", F.coalesce(F.col("n_attributes"), F.lit(0)).cast("int")
+    )
+    to_extract = tagged.where(F.col("n_attributes") > 0)
+    skipped = tagged.where(F.col("n_attributes") == 0).select(
+        *sections.columns,
+        F.lit("{}").alias("inference_result"),
+        F.lit(True).alias("parsing_succeeded"),
+        F.lit(True).alias("skipped_due_to_empty_attributes"),
+        F.lit(0).alias("input_tokens"),
+        F.lit(0).alias("output_tokens"),
+    )
+    return to_extract, skipped
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Recursive dot-notation flattening of struct columns
+    (``reporting/save_reporting_data.py`` flattens nested JSON the same
+    way before writing the reporting tables): ``a: struct<b: struct<c>>``
+    becomes columns ``a.b.c``.  Pure projection — Catalyst collapses it
+    into the scan."""
+    from pyspark.sql.types import StructType
+
+    def leaves(schema, prefix=""):
+        out = []
+        for f in schema.fields:
+            name = f"{prefix}{f.name}"
+            if isinstance(f.dataType, StructType):
+                out += leaves(f.dataType, f"{name}{sep}")
+            else:
+                out.append((name, F.col(name.replace(sep, "."))))
+        return out
+
+    cols = [c.alias(name) for name, c in leaves(df.schema)]
+    return df.select(*cols)
+
+
 def json_field(col: Column | str, path: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, path)

@@ -240,19 +240,41 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).withColumn(
         "list_id", _nearest_centroid(F.col("v"), centroids)
     )
-    # per-query probe lists, computed driver-side (queries are small)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    probes = []
-    for r in qrows:
-        qv = list(r[query_vec_col])
-        d = [
-            (sum((a - b) ** 2 for a, b in zip(qv, cent)), ci)
+    # per-query probe lists computed DISTRIBUTED: distances to the
+    # (literal, O(C·dim)) centroids as an array expression, then the
+    # nprobe smallest via explode + window rank — no driver collect, so
+    # the query set can itself be corpus-sized
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(x) for x in cent]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(ci).cast("int").alias("list_id"),
+            )
             for ci, cent in enumerate(centroids)
         ]
-        for _, ci in sorted(d)[:nprobe]:
-            probes.append((r[query_id_col], ci, qv))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(probes, ["query_id", "list_id", "qv"])
+    )
+    qbase = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    ranked = qbase.select(
+        "query_id", "qv", F.explode(dists).alias("d")
+    ).withColumn(
+        "probe_rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("d.dist"), F.asc("d.list_id"))
+        ),
+    )
+    q = ranked.where(F.col("probe_rank") <= nprobe).select(
+        "query_id", F.col("d.list_id").alias("list_id"), "qv"
+    )
     scored = c.join(F.broadcast(q), "list_id").select(
         "query_id",
         "vec_id",

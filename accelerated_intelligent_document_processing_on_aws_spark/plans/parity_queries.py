@@ -476,6 +476,107 @@ def word_elements_docs(spark, sf_dir):
 
 
 @q(
+    "string_to_list_coercion",
+    """
+    SELECT p_partkey,
+           CASE CAST(p_partkey % 3 AS INT)
+                WHEN 0 THEN replace(p_name, ' ', '|')
+                WHEN 1 THEN p_name
+                ELSE '' END AS items,
+           CASE CAST(p_partkey % 3 AS INT)
+                WHEN 0 THEN len(string_split(p_name, ' '))
+                WHEN 1 THEN 1
+                ELSE 0 END AS n_items
+    FROM part
+    """,
+)
+def string_to_list_coercion(spark, sf_dir):
+    """String→list coercion (``comparator.py:210-238``): list literals
+    parse to items, scalars become single-item lists, NULL → []."""
+    from ..operators.jsonops import string_to_list
+
+    p = _t(spark, sf_dir, "part")
+    raw = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit('["'), F.regexp_replace("p_name", " ", '", "'), F.lit('"]')),
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lst = string_to_list(raw)
+    return p.select(
+        "p_partkey",
+        F.array_join(lst, "|").alias("items"),
+        F.size(lst).cast("int").alias("n_items"),
+    )
+
+
+_SCHEMA_CLASSES = ("click", "view")  # classes WITH configured attributes
+
+
+@q(
+    "empty_schema_skip",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id AS INT) AS section_id,
+           event_type AS classification,
+           '{}' AS inference_result,
+           TRUE AS parsing_succeeded,
+           TRUE AS skipped_due_to_empty_attributes,
+           0 AS input_tokens, 0 AS output_tokens
+    FROM events WHERE event_type NOT IN ('click', 'view')
+    """,
+)
+def empty_schema_skip(spark, sf_dir):
+    """Empty-schema skip (``extraction/service.py:733-780``): classes
+    with no configured attributes bypass extraction — empty inference
+    result, zero metering, explicit skip flag.  The query returns the
+    skipped branch; the to_extract branch is asserted in pytest."""
+    from ..operators.jsonops import empty_schema_gate
+
+    e = _t(spark, sf_dir, "events")
+    sections = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("section_id"),
+        F.col("event_type").alias("classification"),
+    )
+    cfg = spark.createDataFrame(
+        [(c, f"attr_{i}") for c in _SCHEMA_CLASSES for i in range(2)],
+        "classification string, attribute_name string",
+    )
+    _to_extract, skipped = empty_schema_gate(sections, cfg)
+    return skipped
+
+
+@q(
+    "flatten_dot_notation",
+    """
+    SELECT event_id,
+           TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS "payload.k",
+           CAST(2 AS BIGINT) AS "meta.version"
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def flatten_dot_notation(spark, sf_dir):
+    """JSON flattening to dot-notation columns
+    (``reporting/save_reporting_data.py`` flattens nested JSON this way
+    before the reporting write): nested struct → ``a.b`` columns via
+    pure projection."""
+    from ..operators.jsonops import flatten_struct
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") % 4 == 0)
+    nested = e.select(
+        "event_id",
+        F.from_json(
+            F.concat(F.lit('{"payload": '), F.col("props"), F.lit(', "meta": {"version": 2}}')),
+            "payload struct<k: bigint>, meta struct<version: bigint>",
+        ).alias("rec"),
+    ).select("event_id", "rec.payload", "rec.meta")
+    return flatten_struct(nested)
+
+
+@q(
     "json_repair_ragged",
     r"""
     WITH t AS (
@@ -517,15 +618,21 @@ def json_repair_ragged(spark, sf_dir):
     """
     SELECT event_id,
            CASE CAST(event_id % 3 AS INT)
-                WHEN 0 THEN 'json' WHEN 1 THEN 'yaml' ELSE 'unknown' END AS fmt
+                WHEN 0 THEN 'json' WHEN 1 THEN 'yaml' ELSE 'unknown' END AS fmt,
+           CASE CAST(event_id % 3 AS INT)
+                WHEN 0 THEN replace(props, ' ', '')
+                WHEN 1 THEN replace(props, ' ', '')
+           END AS json
     FROM events WHERE event_id % 2 = 0
     """,
 )
 def json_yaml_detect(spark, sf_dir):
-    """Format-detection ladder (``utils/__init__.py:442-533``): JSON
-    props pass through, a YAML-ified variant detects as yaml, plain
-    prose as unknown."""
-    from ..operators.jsonops import detect_format_udf
+    """Format detection + dispatch (``utils/__init__.py:442-533``): JSON
+    props pass through the JSON path, a YAML-ified variant parses via
+    the YAML path and re-serializes to the SAME canonical JSON, plain
+    prose is unknown/unparseable — the oracle states all three outcomes
+    in closed form (fixture props are exactly ``{"k": N}``)."""
+    from ..operators.jsonops import extract_structured_udf
 
     e = _t(spark, sf_dir, "events").where(F.col("event_id") % 2 == 0)
     payload = (
@@ -533,4 +640,5 @@ def json_yaml_detect(spark, sf_dir):
         .when(F.col("event_id") % 3 == 1, F.trim(F.regexp_replace(F.col("props"), r'[{}"]', "")))
         .otherwise(F.lit("plain prose with no structure at all"))
     )
-    return e.select("event_id", detect_format_udf(payload).alias("fmt"))
+    res = e.select("event_id", extract_structured_udf(payload).alias("r"))
+    return res.select("event_id", F.col("r.fmt").alias("fmt"), F.col("r.json").alias("json"))

@@ -162,3 +162,64 @@ class TestHungarianReferenceParity:
         assert hungarian_compare([], [], "EXACT", 0.8) == (0, 0, 1.0)
         assert hungarian_compare([], ["x"], "EXACT", 0.8) == (0, 1, 0.0)
         assert hungarian_compare(["x"], [], "EXACT", 0.8) == (0, 0, 0.0)
+
+
+class TestJsonOpsRound2:
+    def test_convert_to_list_reference_parity(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel.strings import (
+            convert_to_list,
+        )
+
+        assert convert_to_list(None) == []
+        assert convert_to_list(["a", 1]) == ["a", "1"]
+        assert convert_to_list("['x', 'y']") == ["x", "y"]
+        assert convert_to_list("[1, 2]") == ["1", "2"]
+        assert convert_to_list("[broken") == ["[broken"]
+        assert convert_to_list("plain") == ["plain"]
+        assert convert_to_list(42) == ["42"]
+
+    def test_string_to_list_column(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.jsonops import (
+            string_to_list,
+        )
+
+        df = spark.createDataFrame(
+            [(1, '["a", "b"]'), (2, "scalar"), (3, None), (4, "[]"), (5, "[1, 2]")],
+            "id int, v string",
+        )
+        got = {r["id"]: r["lst"] for r in df.select("id", string_to_list("v").alias("lst")).collect()}
+        assert got[1] == ["a", "b"]
+        assert got[2] == ["scalar"]
+        assert got[3] == []
+        assert got[4] == []
+        assert got[5] == ["1", "2"]
+
+    def test_empty_schema_gate_split(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.jsonops import (
+            empty_schema_gate,
+        )
+
+        sections = spark.createDataFrame(
+            [("c1", 1, "invoice"), ("c1", 2, "mystery"), ("c2", 1, "invoice")],
+            "conv_id string, section_id int, classification string",
+        )
+        cfg = spark.createDataFrame(
+            [("invoice", "amount")], "classification string, attribute_name string"
+        )
+        to_extract, skipped = empty_schema_gate(sections, cfg)
+        assert to_extract.count() == 2
+        sk = skipped.collect()
+        assert len(sk) == 1 and sk[0]["classification"] == "mystery"
+        assert sk[0]["skipped_due_to_empty_attributes"] is True
+        assert sk[0]["inference_result"] == "{}" and sk[0]["input_tokens"] == 0
+
+    def test_flatten_struct_dot_columns(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.jsonops import (
+            flatten_struct,
+        )
+
+        df = spark.createDataFrame([(1, ((2, 3), 4))], "id int, a struct<b: struct<c: int, d: int>, e: int>")
+        out = flatten_struct(df)
+        assert out.columns == ["id", "a.b.c", "a.b.d", "a.e"]
+        row = out.collect()[0]
+        assert (row["id"], row["a.b.c"], row["a.b.d"], row["a.e"]) == (1, 2, 3, 4)
