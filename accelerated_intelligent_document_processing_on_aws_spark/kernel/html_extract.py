@@ -16,7 +16,6 @@ wall-clock — so Spark partitioning cannot perturb the output.
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
 
 # Subtrees dropped entirely (never contribute text).
 _DROP_TAGS = frozenset(
@@ -62,16 +61,31 @@ class _Block:
         return _WS.sub(" ", "".join(self.parts)).strip()
 
 
-class _Extractor(HTMLParser):
-    """Single-pass block builder.
+# tag → (drop, boiler, block): ONE dict lookup in the hot handler
+# instead of three frozenset probes (tag classes are disjoint).
+_TAG_INFO: dict = {}
+for _t in _DROP_TAGS:
+    _TAG_INFO[_t] = (True, False, False)
+for _t in _BOILERPLATE_TAGS:
+    _TAG_INFO[_t] = (False, True, False)
+for _t in _BLOCK_TAGS:
+    _TAG_INFO[_t] = (False, False, True)
+_NO_INFO = (False, False, False)
+
+
+class _Extractor:
+    """Single-pass block builder (plain class: it is only ever driven by
+    ``_fast_events`` — the previous ``HTMLParser`` base paid init cost
+    per payload for machinery the fast tokenizer never used).
 
     Maintains a tag stack; text data is appended to the current open
     block.  A new block opens whenever a block-level tag starts while
     text is already accumulated, or a block-level tag closes.
     """
 
+    __slots__ = ("blocks", "_drop_depth", "_boiler_depth", "_link_depth", "_cur", "_stack")
+
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._drop_depth = 0
         self._boiler_depth = 0
@@ -90,8 +104,7 @@ class _Extractor(HTMLParser):
 
     # -- parser callbacks ------------------------------------------------
     def handle_starttag(self, tag, attrs):
-        drop = tag in _DROP_TAGS
-        boiler = tag in _BOILERPLATE_TAGS
+        drop, boiler, block = _TAG_INFO.get(tag, _NO_INFO)
         if attrs and not boiler:
             attr_text = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
             if attr_text:
@@ -104,7 +117,7 @@ class _Extractor(HTMLParser):
             self._boiler_depth += 1
         if tag == "a":
             self._link_depth += 1
-        if tag in _BLOCK_TAGS:
+        if block:
             self._close_block()
             if tag != "br":
                 self._open_block(tag)

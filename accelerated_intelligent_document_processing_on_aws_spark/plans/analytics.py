@@ -741,3 +741,148 @@ def price_vs_global_avg(spark, sf_dir):
             F.round(F.col("o_totalprice") / F.col("_avg"), 6).alias("price_ratio"),
         )
     )
+
+
+# -- TPC-H Q7 shape: nation-pair trade volume (two independent dim chains
+#    meeting at the fact — exercises join reordering + double broadcast) ----
+@q(
+    "q7_nation_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name < nc.n_name
+    GROUP BY ns.n_name, nc.n_name
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    ns = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = F.broadcast(_t(spark, sf_dir, "nation")).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        # revenue terms have exactly 4 decimals, so per-row ROUND to integer
+        # ten-thousandths + BIGINT sum is order- and engine-independent (a
+        # double SUM + ROUND(,2) straddled a .005 boundary vs DuckDB here)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# -- TPC-H Q10 shape: top returned-item customers (rank on rounded revenue,
+#    deterministic custkey tiebreak — cross-engine-stable top-k) ------------
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, revenue FROM (
+      SELECT c.c_custkey, c.c_name,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name
+    ) ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# -- TPC-H Q14 shape: promo revenue share (conditional agg ratio) ------------
+@q(
+    "q14_promo_share",
+    """
+    SELECT ROUND(100.0 *
+             SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# -- TPC-H Q17 shape: small-quantity parts (correlated subquery decorrelated
+#    into an agg self-join — Catalyst and DuckDB both plan it this way) ------
+@q(
+    "q17_small_quantity",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_limit
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.qty_limit
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    ).withColumnRenamed("l_partkey", "pk")
+    return (
+        li.join(lim, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
