@@ -50,6 +50,9 @@ OUTPUT_SCHEMA = T.StructType(
         # pressure instead of the operator hiding it
         T.StructField("pending_after", T.IntegerType()),
         T.StructField("dups_after", T.IntegerType()),
+        # true only for rows emitted by a timeout flush ACROSS a gap —
+        # downstream can quarantine these instead of trusting numbering
+        T.StructField("gap_flushed", T.BooleanType()),
     ]
 )
 
@@ -66,76 +69,125 @@ STATE_SCHEMA = T.StructType(
 MAX_PENDING_DEFAULT = 100_000
 
 
-def _segment_group(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    conv_id = key[0]
-    if state.exists:
-        last_class, last_section, last_turn, pending_json, n_dups = state.get
-        pending: dict[int, tuple] = {
-            int(k): tuple(v) for k, v in json.loads(pending_json).items()
-        }
-    else:
-        last_class, last_section, last_turn = None, 0, -1
-        pending, n_dups = {}, 0
+def _make_segment_group(flush_timeout_ms: int | None = None):
+    """Build the applyInPandasWithState function.
 
-    for pdf in pdfs:
-        for turn_idx, cls, boundary in zip(
-            pdf["turn_idx"], pdf["classification"], pdf["boundary"]
-        ):
-            ti = int(turn_idx)
-            if ti <= last_turn or ti in pending:
-                n_dups += 1  # duplicate delivery: idempotent skip, counted
-                continue
-            pending[ti] = (cls, boundary)
+    ``flush_timeout_ms``: when set, a conversation that receives no data
+    for that long has its reorder buffer FLUSHED in sorted order across
+    any gaps — each flushed row marked ``gap_flushed=true`` so a
+    downstream sink can quarantine it (the alternative is holding the
+    buffer forever when an upstream truly lost a turn)."""
 
-    if len(pending) > MAX_PENDING_DEFAULT:
-        raise RuntimeError(
-            f"conv {conv_id}: reorder buffer {len(pending)} exceeds "
-            f"{MAX_PENDING_DEFAULT} — upstream turn gap, refusing to emit "
-            "mis-numbered sections"
+    def _segment_group(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            last_class, last_section, last_turn, pending_json, n_dups = state.get
+            pending: dict[int, tuple] = {
+                int(k): tuple(v) for k, v in json.loads(pending_json).items()
+            }
+        else:
+            last_class, last_section, last_turn = None, 0, -1
+            pending, n_dups = {}, 0
+
+        timed_out = bool(getattr(state, "hasTimedOut", False))
+        if not timed_out:
+            for pdf in pdfs:
+                for turn_idx, cls, boundary in zip(
+                    pdf["turn_idx"], pdf["classification"], pdf["boundary"]
+                ):
+                    ti = int(turn_idx)
+                    if ti <= last_turn or ti in pending:
+                        n_dups += 1  # duplicate delivery: idempotent skip, counted
+                        continue
+                    pending[ti] = (cls, boundary)
+
+        if len(pending) > MAX_PENDING_DEFAULT:
+            raise RuntimeError(
+                f"conv {conv_id}: reorder buffer {len(pending)} exceeds "
+                f"{MAX_PENDING_DEFAULT} — upstream turn gap, refusing to emit "
+                "mis-numbered sections"
+            )
+
+        out_rows: list[tuple] = []
+
+        def emit_frontier(gap_flushed: bool) -> None:
+            nonlocal last_class, last_section, last_turn
+            while (last_turn + 1) in pending:
+                ti = last_turn + 1
+                cls, boundary = pending.pop(ti)
+                if last_class is None or cls != last_class or boundary == "start":
+                    last_section += 1
+                last_class = cls
+                last_turn = ti
+                out_rows.append((conv_id, ti, cls, last_section, gap_flushed))
+
+        # drain the contiguous frontier (turn indices are 0-based
+        # contiguous per the transcript contract; later turns wait)
+        emit_frontier(gap_flushed=False)
+
+        if timed_out and pending:
+            # flush across gaps in sorted order, marked loudly
+            # (emit_frontier may drain followers of each flushed turn,
+            # so re-take the minimum each round)
+            while pending:
+                ti = min(pending)
+                cls, boundary = pending.pop(ti)
+                if last_class is None or cls != last_class or boundary == "start":
+                    last_section += 1
+                last_class = cls
+                last_turn = ti
+                out_rows.append((conv_id, ti, cls, last_section, True))
+                emit_frontier(gap_flushed=True)
+
+        state.update(
+            (
+                last_class,
+                last_section,
+                last_turn,
+                json.dumps({str(k): list(v) for k, v in pending.items()}),
+                n_dups,
+            )
+        )
+        if flush_timeout_ms is not None and not timed_out:
+            state.setTimeoutDuration(flush_timeout_ms)
+        yield pd.DataFrame(
+            [(c, t, cl, s, len(pending), n_dups, g) for c, t, cl, s, g in out_rows],
+            columns=[f.name for f in OUTPUT_SCHEMA.fields],
         )
 
-    # drain the contiguous frontier (turn indices are 0-based contiguous
-    # per the transcript contract; anything later waits for predecessors)
-    out_rows: list[tuple] = []
-    while (last_turn + 1) in pending:
-        ti = last_turn + 1
-        cls, boundary = pending.pop(ti)
-        if last_class is None or cls != last_class or boundary == "start":
-            last_section += 1
-        last_class = cls
-        last_turn = ti
-        out_rows.append((conv_id, ti, cls, last_section))
-
-    state.update(
-        (
-            last_class,
-            last_section,
-            last_turn,
-            json.dumps({str(k): list(v) for k, v in pending.items()}),
-            n_dups,
-        )
-    )
-    yield pd.DataFrame(
-        [(c, t, cl, s, len(pending), n_dups) for c, t, cl, s in out_rows],
-        columns=[f.name for f in OUTPUT_SCHEMA.fields],
-    )
+    return _segment_group
 
 
-def streaming_sections(extracted_stream: DataFrame) -> DataFrame:
+# default instance (no timeout): module-level for direct unit testing
+_segment_group = _make_segment_group(None)
+
+
+def streaming_sections(
+    extracted_stream: DataFrame, flush_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-turn section ids over a streaming extracted DataFrame
-    (needs conv_id, turn_idx, classification, boundary)."""
+    (needs conv_id, turn_idx, classification, boundary).
+
+    With ``flush_timeout_ms`` set, idle conversations flush their
+    reorder buffer across gaps (rows marked ``gap_flushed``) instead of
+    holding it forever."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         extracted_stream.select("conv_id", "turn_idx", "classification", "boundary")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _segment_group,
+            _make_segment_group(flush_timeout_ms),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            timeout,
         )
     )
