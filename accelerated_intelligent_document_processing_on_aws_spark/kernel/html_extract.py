@@ -73,84 +73,6 @@ for _t in _BLOCK_TAGS:
 _NO_INFO = (False, False, False)
 
 
-class _Extractor:
-    """Single-pass block builder (plain class: it is only ever driven by
-    ``_fast_events`` — the previous ``HTMLParser`` base paid init cost
-    per payload for machinery the fast tokenizer never used).
-
-    Maintains a tag stack; text data is appended to the current open
-    block.  A new block opens whenever a block-level tag starts while
-    text is already accumulated, or a block-level tag closes.
-    """
-
-    __slots__ = ("blocks", "_drop_depth", "_boiler_depth", "_link_depth", "_cur", "_stack")
-
-    def __init__(self) -> None:
-        self.blocks: list[_Block] = []
-        self._drop_depth = 0
-        self._boiler_depth = 0
-        self._link_depth = 0
-        self._cur: _Block | None = None
-        # Stack of (tag, was_boilerplate_container, was_drop) for handling ends.
-        self._stack: list[tuple[str, bool, bool]] = []
-
-    # -- block lifecycle -------------------------------------------------
-    def _open_block(self, tag: str) -> None:
-        self._cur = _Block(tag, self._boiler_depth > 0)
-        self.blocks.append(self._cur)
-
-    def _close_block(self) -> None:
-        self._cur = None
-
-    # -- parser callbacks ------------------------------------------------
-    def handle_starttag(self, tag, attrs):
-        drop, boiler, block = _TAG_INFO.get(tag, _NO_INFO)
-        if attrs and not boiler:
-            attr_text = " ".join(v or "" for k, v in attrs if k in ("class", "id"))
-            if attr_text:
-                boiler = bool(_BOILERPLATE_HINT.search(attr_text))
-        self._stack.append((tag, boiler, drop))
-        if drop:
-            self._drop_depth += 1
-            return
-        if boiler:
-            self._boiler_depth += 1
-        if tag == "a":
-            self._link_depth += 1
-        if block:
-            self._close_block()
-            if tag != "br":
-                self._open_block(tag)
-        elif self._cur is not None:
-            self._cur.n_elems += 1
-
-    def handle_endtag(self, tag):
-        # Unwind to the matching open tag (HTML is forgiving).
-        while self._stack:
-            t, boiler, drop = self._stack.pop()
-            if drop:
-                self._drop_depth = max(0, self._drop_depth - 1)
-            else:
-                if boiler:
-                    self._boiler_depth = max(0, self._boiler_depth - 1)
-                if t == "a":
-                    self._link_depth = max(0, self._link_depth - 1)
-                if t in _BLOCK_TAGS:
-                    self._close_block()
-            if t == tag:
-                break
-
-    def handle_data(self, data):
-        if self._drop_depth or not data:
-            return
-        if self._cur is None:
-            self._open_block("p")
-            self._cur.boiler = self._boiler_depth > 0
-        self._cur.parts.append(data)
-        if self._link_depth:
-            self._cur.link_chars += len(data.strip())
-
-
 import html as _html_mod
 
 _FAST_TAG = re.compile(
@@ -168,60 +90,118 @@ _FAST_ATTR = re.compile(r"""(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|(\S+))""", r
 _RAWTEXT = ("script", "style")
 
 
-def _fast_events(html: str, handler: "_Extractor") -> None:
-    """Regex-scan tokenizer emitting the same start/data/end events as
-    ``html.parser`` (lowercased tag names, unescaped text) — ~5× faster
-    on machine-generated markup; the handler logic is shared so both
-    paths produce identical blocks."""
+def _scan_blocks(html: str) -> list[_Block]:
+    """Single fused pass: regex tokenizer + block builder.
+
+    One ``finditer`` loop; inter-match slices are data (an unmatched '<'
+    stays inside its data slice — output is concatenation-equivalent,
+    and entities never span a '<' so per-slice unescape is unaffected).
+    Tokenizer and handler were separate (callback per tag event) through
+    round 2; fusing them into local-variable state removes two Python
+    calls per tag on the 100 TB hot path.  Block semantics are pinned by
+    the kernel snapshot test (tests/test_kernel.py)."""
+    blocks: list[_Block] = []
+    drop_depth = boiler_depth = link_depth = 0
+    cur: _Block | None = None
+    stack: list[tuple] = []
     pos = 0
     n = len(html)
     lowered = None  # built at most ONCE, on the first raw-text element
-                    # (per-element html.lower() was O(n²) on script-heavy payloads)
-    data_cb = handler.handle_data
-    start_cb = handler.handle_starttag
-    end_cb = handler.handle_endtag
     unescape = _html_mod.unescape
-    # ONE finditer pass: inter-match slices are data (an unmatched '<'
-    # simply stays inside its data slice — handle_data output is
-    # concatenation-equivalent to the old find+match loop, and entities
-    # never span a '<' so per-slice unescape is unaffected)
+    tag_info = _TAG_INFO.get
+
+    def _end(tag: str) -> None:
+        nonlocal drop_depth, boiler_depth, link_depth, cur
+        # unwind to the matching open tag (HTML is forgiving)
+        while stack:
+            t, b, d = stack.pop()
+            if d:
+                drop_depth = max(0, drop_depth - 1)
+            else:
+                if b:
+                    boiler_depth = max(0, boiler_depth - 1)
+                if t == "a":
+                    link_depth = max(0, link_depth - 1)
+                if t in _BLOCK_TAGS:
+                    cur = None
+            if t == tag:
+                break
+
     for m in _FAST_TAG.finditer(html):
         lt = m.start()
         if lt < pos:
             continue  # tag text inside a raw-text element already skipped
-        if lt > pos:
+        if lt > pos and not drop_depth:
             data = html[pos:lt]
-            data_cb(unescape(data) if "&" in data else data)
+            if "&" in data:
+                data = unescape(data)
+            if data:
+                if cur is None:
+                    cur = _Block("p", boiler_depth > 0)
+                    blocks.append(cur)
+                cur.parts.append(data)
+                if link_depth:
+                    cur.link_chars += len(data.strip())
         pos = m.end()
         end_slash, name, blob, self_close = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/PI
             continue
         tag = name.lower()
         if end_slash:
-            end_cb(tag)
+            _end(tag)
             continue
-        attrs = ()
-        if blob and ("class" in blob or "id" in blob or "ID" in blob or "CLASS" in blob):
-            attrs = [
-                (am.group(1).lower(), am.group(2) or am.group(3) or am.group(4) or "")
+        drop, boiler, block = tag_info(tag, _NO_INFO)
+        if (
+            blob
+            and not boiler
+            and ("class" in blob or "id" in blob or "ID" in blob or "CLASS" in blob)
+        ):
+            attr_text = " ".join(
+                (am.group(2) or am.group(3) or am.group(4) or "")
                 for am in _FAST_ATTR.finditer(blob)
-            ]
-        start_cb(tag, attrs)
+            )
+            if attr_text:
+                boiler = bool(_BOILERPLATE_HINT.search(attr_text))
+        stack.append((tag, boiler, drop))
+        if drop:
+            drop_depth += 1
+        else:
+            if boiler:
+                boiler_depth += 1
+            if tag == "a":
+                link_depth += 1
+            if block:
+                if tag == "br":
+                    cur = None
+                else:
+                    cur = _Block(tag, boiler_depth > 0)
+                    blocks.append(cur)
+            elif cur is not None:
+                cur.n_elems += 1
         if self_close:
-            end_cb(tag)
+            _end(tag)
         elif tag in _RAWTEXT:
             # raw-text elements: skip to the closing tag verbatim
             if lowered is None:
                 lowered = html.lower()
             close = lowered.find(f"</{tag}", pos)
             if close < 0:
-                return  # unterminated raw-text: drop the tail (parser contract)
+                return blocks  # unterminated raw-text: drop the tail
             gt = html.find(">", close)
-            end_cb(tag)
+            _end(tag)
             pos = n if gt < 0 else gt + 1
-    if pos < n:
+    if pos < n and not drop_depth:
         data = html[pos:]
-        data_cb(unescape(data) if "&" in data else data)
+        if "&" in data:
+            data = unescape(data)
+        if data:
+            if cur is None:
+                cur = _Block("p", boiler_depth > 0)
+                blocks.append(cur)
+            cur.parts.append(data)
+            if link_depth:
+                cur.link_chars += len(data.strip())
+    return blocks
 
 
 def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]]:
@@ -232,9 +212,8 @@ def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]
     kept block, ``kind`` = the block's tag, ``conf`` derived from link
     density (cleaner blocks score higher).
     """
-    parser = _Extractor()
     try:
-        _fast_events(html, parser)
+        blocks = _scan_blocks(html)
     except Exception:
         # Malformed HTML: fall back to tag-stripped text, mirroring the
         # reference's parse fallback chain (ocr/service.py:1649-1673).
@@ -242,7 +221,7 @@ def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]
         return plain, ([(0, len(plain), "fallback", 0.5)] if plain else [])
 
     kept: list[tuple[str, str, float]] = []  # (text, kind, conf)
-    for b in parser.blocks:
+    for b in blocks:
         t = b.text()
         if not t or b.boiler or len(t) < MIN_BLOCK_CHARS:
             continue

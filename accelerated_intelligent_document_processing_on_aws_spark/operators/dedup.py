@@ -278,13 +278,20 @@ def minhash_lsh_pairs(
     )
     # ONE shuffle generates the candidate pairs: group ids per bucket and
     # emit the i<j combinations in-place.  A self-join would evaluate the
-    # signature plan twice and add two more exchanges; the cap bounds the
-    # per-bucket pair blowup to cap²/2 so the explode stays tiny.
+    # signature plan twice and add two more exchanges.  The bucket cap is
+    # enforced BEFORE collect_list by a window count over the SAME
+    # partitioning (no extra exchange): a degenerate bucket — e.g. 10^7
+    # byte-identical documents, routine in dedup workloads — must never
+    # materialize as one aggregation-buffer array.
     cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        banded.withColumn("_bs", F.count(F.lit(1)).over(bucket_w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
+        .groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= cap))
     )
     cand = (
         buckets.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
@@ -359,6 +366,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: two fingerprints within hamming
     ``k`` of each other agree exactly on at least one of ``k + 1``
@@ -398,11 +406,21 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "fp", "c.chunk_idx", "c.chunk")
     # the 8-byte fingerprint rides along into the bucket groupBy, so the
-    # hamming verify is an inline expression — no join back to the corpus
+    # hamming verify is an inline expression — no join back to the corpus.
+    # The window cap (same partitioning, no extra exchange) bounds the
+    # aggregation buffer: a dropped over-cap bucket means one hot chunk
+    # value — NOTE this trades the pigeonhole guarantee for memory safety
+    # on degenerate buckets; pairs that agree on another, selective chunk
+    # still surface.  Raise max_bucket_size (or None) to keep full recall.
+    from pyspark.sql import Window
+
+    cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
+    chunk_w = Window.partitionBy("chunk_idx", "chunk")
     buckets = (
-        chunks.groupBy("chunk_idx", "chunk")
+        chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
+        .groupBy("chunk_idx", "chunk")
         .agg(F.array_sort(F.collect_list(F.struct("id", "fp"))).alias("members"))
-        .where(F.size("members") >= 2)
     )
     pairs = (
         buckets.select(F.explode(_pair_combinations(F.col("members"))).alias("p"))

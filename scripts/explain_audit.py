@@ -109,10 +109,13 @@ def main() -> None:
         "MinHash LSH near-dup",
         "Signatures come from ONE Arrow-batched numpy pass scan-side "
         "(ArrowEvalPython feeding posexplode, no shuffle); candidate "
-        "pairs come from ONE groupBy exchange on (band_idx, band_hash) "
-        "with in-bucket combinations (no self-join, no second plan "
-        "evaluation); the Jaccard verify semi-joins candidate ids before "
-        "materializing shingles — document text never enters a shuffle.",
+        "pairs come from ONE exchange on (band_idx, band_hash) — a "
+        "window count caps bucket size BEFORE collect_list over the "
+        "same partitioning (degenerate buckets never materialize as one "
+        "aggregation buffer), then in-bucket combinations (no self-join, "
+        "no second plan evaluation); the Jaccard verify semi-joins "
+        "candidate ids before materializing shingles — document text "
+        "never enters a shuffle.",
         dedup.minhash_lsh_pairs(docs, shingle_n=2, num_hashes=16, bands=4,
                                 jaccard_threshold=0.5),
     )
