@@ -174,3 +174,79 @@ class TestStatefulSegmentation:
         got = {r["turn_idx"]: r["section_id"] for r in rows}
         assert got == _WANT  # each turn exactly once, correct numbering
         assert max(r["dups_after"] for r in rows) == 4  # redelivered shard counted
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_from_finalized_window(self, spark, tmp_path):
+        """End-to-end watermark semantics: a row arriving after the
+        watermark passed its window is dropped; the finalized window
+        count reflects only on-time rows (append mode emits a window
+        exactly once, when the watermark crosses its end)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.ingest import (
+            windowed_turn_counts,
+        )
+
+        def ts(minute, second=0):
+            return datetime(2026, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+
+        schema = pa.schema(
+            [("ts", pa.timestamp("us", tz="UTC")), ("classification", pa.string())]
+        )
+        shard_dir = tmp_path / "wshards"
+        shard_dir.mkdir()
+
+        def write(name, rows, mtime):
+            path = str(shard_dir / name)
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {"ts": [r[0] for r in rows], "classification": [r[1] for r in rows]},
+                    schema=schema,
+                ),
+                path,
+            )
+            os.utime(path, (mtime, mtime))
+
+        # batch 0: three on-time rows in the 10:00 window, plus one at
+        # 10:10 that advances the watermark (2 min) to 10:08
+        write("s0.parquet",
+              [(ts(0, 10), "a"), (ts(0, 20), "a"), (ts(0, 40), "b"), (ts(10), "a")],
+              1_700_000_000)
+        # batch 1: advances the watermark to 10:13 and (eviction threshold
+        # 10:08) FINALIZES the 10:00 window — eviction is lazy, so the
+        # window must be emitted in a batch BEFORE the late row arrives
+        write("s1.parquet", [(ts(15), "a")], 1_700_000_060)
+        # batch 2: a LATE row for the already-evicted 10:00 window — the
+        # engine must drop it rather than resurrect the window
+        write("s2.parquet", [(ts(0, 30), "a")], 1_700_000_120)
+
+        stream = (
+            spark.readStream.schema("ts timestamp, classification string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shard_dir))
+        )
+        out_dir = str(tmp_path / "wout")
+        q = (
+            windowed_turn_counts(stream, window="1 minute", watermark="2 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["window_start"].minute, r["classification"]): r["n_turns"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # the 10:00 window finalized with ONLY the on-time rows: the late
+        # (0,30,"a") row neither bumped the count nor re-emitted the window
+        assert got[(0, "a")] == 2
+        assert got[(0, "b")] == 1
+        # the 10:10 window was finalized by the 10:15 watermark push
+        assert got.get((10, "a")) == 1
+        assert len(got) == 3  # no duplicate/resurrected windows
