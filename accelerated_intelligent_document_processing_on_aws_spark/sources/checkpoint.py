@@ -108,3 +108,60 @@ def run_checkpointed_extraction(
 def resume_pending(out_dir: str, n_buckets: int) -> list[int]:
     done = set(read_manifest(out_dir)["done_buckets"])
     return [b for b in range(n_buckets) if b not in done]
+
+
+def delete_conversations(
+    spark: SparkSession,
+    out_dir: str,
+    conv_ids: list[str],
+    dry_run: bool = False,
+) -> dict:
+    """Document-deletion analog (``delete_documents.py:286-420``): remove
+    every extracted artifact of the given conversations from the
+    checkpointed output.
+
+    The reference computes a timestamp shard to find exactly the
+    DynamoDB entries a document can live in; the Spark restatement
+    computes each conversation's hash BUCKET and rewrites only those
+    partitions with an anti-filter — touched data is O(affected
+    buckets), never O(corpus).  ``dry_run`` reports what would be
+    deleted without rewriting (reference ``:303``).
+
+    Lineage partitions are left as written: lineage is the processing
+    history of the original run (what the kernel did), not a live row
+    inventory; deletions are instead recorded in the manifest's
+    ``deletions`` audit list.  Returns ``{bucket: n_deleted}``.
+    """
+    manifest = read_manifest(out_dir)
+    n_buckets = manifest["n_buckets"]
+    if n_buckets is None:
+        raise ValueError(f"{out_dir} has no completed extraction manifest")
+    ids_df = spark.createDataFrame([(c,) for c in conv_ids], "conv_id string")
+    buckets = sorted(
+        r["b"]
+        for r in ids_df.select(bucket_col(n_buckets).alias("b")).distinct().collect()
+    )
+    deleted: dict[int, int] = {}
+    for b in buckets:
+        part_dir = os.path.join(out_dir, "extracted", f"bucket={b}")
+        if not os.path.isdir(part_dir):
+            continue
+        df = spark.read.parquet(part_dir)
+        n = df.where(F.col("conv_id").isin(conv_ids)).count()
+        if n == 0:
+            continue
+        deleted[b] = n
+        if dry_run:
+            continue
+        keep = df.where(~F.col("conv_id").isin(conv_ids))
+        tmp_dir = part_dir + ".rewrite"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        keep.write.mode("overwrite").parquet(tmp_dir)  # materialize FIRST
+        shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)
+    if deleted and not dry_run:
+        manifest.setdefault("deletions", []).append(
+            {"conv_ids": sorted(conv_ids), "rows_by_bucket": {str(k): v for k, v in deleted.items()}}
+        )
+        _write_manifest(out_dir, manifest)
+    return deleted

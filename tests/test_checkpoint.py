@@ -180,3 +180,52 @@ class TestCatalogRegistration:
         cols = {r.name: r for r in spark.catalog.listColumns(f"{db}.document_sections_invoice")}
         assert cols["date"].isPartition
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+class TestDeleteConversations:
+    def test_delete_rewrites_only_affected_buckets(self, spark, tmp_path):
+        """Deletion analog (delete_documents.py): targeted conversations
+        vanish, everything else is untouched, re-delete is a no-op, and
+        dry_run only reports."""
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+            generate_transcripts,
+        )
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            delete_conversations,
+            read_manifest,
+            run_checkpointed_extraction,
+        )
+
+        rows = generate_transcripts(30, seed=7)
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+        out = str(tmp_path / "delout")
+        run_checkpointed_extraction(spark, df, out, n_buckets=4, wave_size=4)
+        ext = spark.read.parquet(f"{out}/extracted")
+        total = ext.count()
+        victims = [r["conv_id"] for r in ext.select("conv_id").distinct().limit(2).collect()]
+        victim_rows = ext.where(F.col("conv_id").isin(victims)).count()
+        survivor_before = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in ext.where(~F.col("conv_id").isin(victims)).collect()
+        }
+
+        # dry run changes nothing
+        report = delete_conversations(spark, out, victims, dry_run=True)
+        assert sum(report.values()) == victim_rows
+        assert spark.read.parquet(f"{out}/extracted").count() == total
+
+        report = delete_conversations(spark, out, victims)
+        assert sum(report.values()) == victim_rows
+        after = spark.read.parquet(f"{out}/extracted")
+        assert after.count() == total - victim_rows
+        assert after.where(F.col("conv_id").isin(victims)).count() == 0
+        survivor_after = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"] for r in after.collect()
+        }
+        assert survivor_after == survivor_before  # untouched rows byte-identical
+        # idempotent + audited
+        assert delete_conversations(spark, out, victims) == {}
+        assert read_manifest(out)["deletions"][0]["conv_ids"] == sorted(victims)
