@@ -190,9 +190,10 @@ def extract_turns(
     """
     df = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     if num_partitions is None:
-        # 2× cores measured fastest for the kernel stage (enough slots to
-        # absorb Zipf stragglers without over-fragmenting Arrow batches)
-        num_partitions = 2 * transcripts.sparkSession.sparkContext.defaultParallelism
+        # 3× cores measured fastest for the kernel stage in the round-2
+        # sweep (enough slots to absorb Zipf stragglers; with 5k-row Arrow
+        # batches the extra partitions don't over-fragment transfers)
+        num_partitions = 3 * transcripts.sparkSession.sparkContext.defaultParallelism
     parts = [F.xxhash64("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt))]
     df = df.repartition(num_partitions, *parts)
     if use_arrow:

