@@ -110,6 +110,43 @@ def single_class_sections(turns: DataFrame, cls: str) -> DataFrame:
     )
 
 
+def name_regex_sections(turns: DataFrame, patterns: list[tuple[str, str]]):
+    """Document-name regex fast path
+    (``classification/service.py:215-232,1805-1844``): a conversation
+    whose NAME matches a class's configured name regex is classified
+    wholesale — every turn that class at confidence 1.0, ONE section —
+    and never reaches the classifier.  First matching pattern wins, in
+    config order (the reference iterates document_types in order).
+
+    Returns ``(matched_sections, unmatched_turns)`` — the split keeps
+    the expensive classifier plan from ever scanning matched
+    conversations, like :func:`~..operators.jsonops.empty_schema_gate`.
+    """
+    cls = F.lit(None).cast("string")
+    for c, pat in reversed(patterns):
+        cls = F.when(F.col("conv_id").rlike(pat), F.lit(c)).otherwise(cls)
+    tagged = turns.withColumn("_name_class", cls)
+    matched = (
+        tagged.where(F.col("_name_class").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.first("_name_class").alias("classification"),
+            F.sort_array(F.collect_list("turn_idx")).alias("turn_idxs"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id",
+            F.lit(1).alias("section_id"),
+            "classification",
+            "turn_idxs",
+            "n_turns",
+            F.lit(1.0).alias("confidence"),
+        )
+    )
+    unmatched = tagged.where(F.col("_name_class").isNull()).drop("_name_class")
+    return matched, unmatched
+
+
 def majority_class(classified: DataFrame) -> DataFrame:
     """Per-conversation majority vote with earliest-turn tie-break.
 

@@ -151,6 +151,137 @@ def single_class_sections_events(spark, sf_dir):
     )
 
 
+@q(
+    "name_regex_fastpath",
+    """
+    WITH named AS (
+      SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id, event_id,
+             CASE WHEN regexp_matches('conv-' || CAST(user_id AS VARCHAR), '1$')
+                  THEN 'invoice'
+                  WHEN regexp_matches('conv-' || CAST(user_id AS VARCHAR), '[12]$')
+                  THEN 'support_ticket'
+             END AS cls
+      FROM events
+    )
+    SELECT conv_id, 1 AS section_id, MIN(cls) AS classification,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS turn_idxs,
+           COUNT(*) AS n_turns, CAST(1.0 AS DOUBLE) AS confidence
+    FROM named WHERE cls IS NOT NULL GROUP BY conv_id
+    """,
+)
+def name_regex_fastpath(spark, sf_dir):
+    """Document-name regex fast path
+    (``classification/service.py:215-232,1805-1844``): conversations
+    whose name matches a configured class regex classify wholesale (one
+    section, confidence 1.0) and skip the classifier; FIRST matching
+    pattern wins — names ending in 1 match both patterns here and must
+    take 'invoice'."""
+    e = _t(spark, sf_dir, "events")
+    turns = e.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+    )
+    matched, _unmatched = seg.name_regex_sections(
+        turns, [("invoice", "1$"), ("support_ticket", "[12]$")]
+    )
+    return matched.select(
+        "conv_id",
+        "section_id",
+        "classification",
+        F.array_join(F.transform("turn_idxs", lambda x: x.cast("string")), ",").alias(
+            "turn_idxs"
+        ),
+        "n_turns",
+        "confidence",
+    )
+
+
+_EVENT_CLASS_SQL = """
+    CASE event_type WHEN 'click' THEN 'invoice'
+                    WHEN 'view' THEN 'support_ticket'
+                    WHEN 'error' THEN 'tech_note'
+                    WHEN 'purchase' THEN 'sales_lead'
+                    ELSE 'bogus_class' END
+"""
+
+
+@q(
+    "limited_vote_propagate",
+    f"""
+    WITH turns AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(event_id AS INT) AS turn_idx,
+             {_EVENT_CLASS_SQL} AS cls,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ), votes AS (
+      SELECT conv_id, cls, COUNT(*) AS n, MIN(turn_idx) AS first_turn
+      FROM turns WHERE rn <= 5
+        AND cls IN ('invoice', 'support_ticket', 'sales_lead', 'tech_note')
+      GROUP BY conv_id, cls
+    ), winner AS (
+      SELECT conv_id, cls FROM (
+        SELECT conv_id, cls,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n DESC, first_turn ASC, cls ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT t.conv_id, t.turn_idx,
+           COALESCE(w.cls, 'unclassified') AS classification
+    FROM turns t LEFT JOIN winner w ON t.conv_id = w.conv_id
+    """,
+)
+def limited_vote_propagate(spark, sf_dir):
+    """Limited-page classification with propagation
+    (``classification/service.py:236-362``): only the first 5 turns per
+    conversation vote (invalid classes excluded, GitHub #167 tie-break),
+    the winner propagates to every turn."""
+    e = _t(spark, sf_dir, "events")
+    cls = (
+        F.when(F.col("event_type") == "click", "invoice")
+        .when(F.col("event_type") == "view", "support_ticket")
+        .when(F.col("event_type") == "error", "tech_note")
+        .when(F.col("event_type") == "purchase", "sales_lead")
+        .otherwise("bogus_class")
+    )
+    turns = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        cls.alias("classification"),
+    )
+    return seg.limit_and_propagate(turns, max_turns=5)
+
+
+@q(
+    "sections_page_events",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT)
+             AS section_id,
+           event_type AS classification,
+           CAST(event_id AS VARCHAR) AS turn_idxs,
+           CAST(1 AS BIGINT) AS n_turns,
+           CAST(FLOOR(value) AS DOUBLE) AS confidence
+    FROM events
+    """,
+)
+def sections_page_events(spark, sf_dir):
+    """Per-page section strategy (``classification/service.py:2096-2136``):
+    every turn is its own section, numbered in turn order."""
+    out = seg.sections(_event_turns(spark, sf_dir), "page")
+    return out.select(
+        "conv_id",
+        "section_id",
+        "classification",
+        F.array_join(F.transform("turn_idxs", lambda x: x.cast("string")), ",").alias(
+            "turn_idxs"
+        ),
+        "n_turns",
+        F.col("confidence"),
+    )
+
+
 _THRESHOLDS = [("click", 0.4), ("view", 0.2), ("error", 0.9)]
 
 

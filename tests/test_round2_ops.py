@@ -223,3 +223,21 @@ class TestJsonOpsRound2:
         assert out.columns == ["id", "a.b.c", "a.b.d", "a.e"]
         row = out.collect()[0]
         assert (row["id"], row["a.b.c"], row["a.b.d"], row["a.e"]) == (1, 2, 3, 4)
+
+
+class TestNameRegexFastPath:
+    def test_first_match_wins_and_split(self, spark):
+        turns = spark.createDataFrame(
+            [("inv-1", 0), ("inv-1", 1), ("tkt-2", 0), ("other", 0)],
+            "conv_id string, turn_idx int",
+        )
+        matched, unmatched = seg.name_regex_sections(
+            turns, [("invoice", "1$"), ("support_ticket", "[12]$")]
+        )
+        got = {r["conv_id"]: r for r in matched.collect()}
+        assert got["inv-1"]["classification"] == "invoice"  # first pattern wins
+        assert got["tkt-2"]["classification"] == "support_ticket"
+        assert got["inv-1"]["turn_idxs"] == [0, 1]
+        assert got["inv-1"]["confidence"] == 1.0
+        # unmatched conversations fall through to the classifier path
+        assert [r["conv_id"] for r in unmatched.collect()] == ["other"]
