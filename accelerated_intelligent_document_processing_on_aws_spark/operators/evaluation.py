@@ -98,6 +98,34 @@ def compare_values(a: Column, b: Column, method: Column,
     )
 
 
+def compare_judge(a: Column, b: Column, threshold: float | Column = DEFAULT_FUZZY_THRESHOLD) -> Column:
+    """Deterministic stand-in for the LLM judge (``comparator.py:596-833``).
+
+    The reference's judge returns ``{match, score, reason}`` parsed from
+    model output (with JSON salvage).  This engine keeps the exact
+    output contract but derives the verdict from a rule cascade —
+    exact-normalized → numeric → fuzzy-threshold — as a pure Catalyst
+    struct (SURVEY §2.D: "keep interface, implement as rule-based
+    judge").  Swapping a real model in changes this one expression, not
+    the callers."""
+    score = fuzzy_score(a, b)
+    exact = compare_exact(a, b)
+    na, nb = norm_numeric(a), norm_numeric(b)
+    numeric = na.isNotNull() & nb.isNotNull() & (na == nb)
+    fuzzy_ok = score >= _thr(threshold)
+    return F.struct(
+        (exact | numeric | fuzzy_ok).alias("match"),
+        F.round(
+            F.when(exact | numeric, F.lit(1.0)).otherwise(score), 6
+        ).alias("score"),
+        F.when(exact, F.lit("exact match after normalization"))
+        .when(numeric, F.lit("numeric equality after currency normalization"))
+        .when(fuzzy_ok, F.lit("fuzzy similarity at or above threshold"))
+        .otherwise(F.lit("below similarity threshold"))
+        .alias("reason"),
+    )
+
+
 def compare_embedding(a: Column, b: Column, threshold: float = 0.8) -> Column:
     """Cosine ≥ threshold over two array<numeric> columns
     (``comparator.py:388-419``) — pure Catalyst expression."""

@@ -465,6 +465,67 @@ def stickler_config_eval(spark, sf_dir):
 
 
 @q(
+    "judge_rule_cascade",
+    f"""
+    WITH pairs AS (
+      SELECT o_orderkey,
+             o_orderpriority AS a,
+             CASE CAST(o_orderkey % 3 AS INT)
+                  WHEN 0 THEN lower(o_orderpriority) || '.'
+                  WHEN 1 THEN substring(o_orderpriority, 1, 4)
+                  ELSE 'totally different' END AS b
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), scored AS (
+      SELECT o_orderkey, a, b,
+             {_NORM_SQL.format(x="COALESCE(a, '')")} AS na,
+             {_NORM_SQL.format(x="COALESCE(b, '')")} AS nb,
+             TRY_CAST(regexp_replace(a, '[$,()\\s]', '', 'g') AS DOUBLE) AS numa,
+             TRY_CAST(regexp_replace(b, '[$,()\\s]', '', 'g') AS DOUBLE) AS numb
+      FROM pairs
+    ), verdict AS (
+      SELECT o_orderkey,
+             na = nb AS exact_m,
+             numa IS NOT NULL AND numb IS NOT NULL AND numa = numb AS numeric_m,
+             CASE WHEN length(na) = 0 OR length(nb) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(levenshtein(na, nb) AS DOUBLE)
+                       / greatest(length(na), length(nb)) END AS fscore
+      FROM scored
+    )
+    SELECT o_orderkey,
+           exact_m OR numeric_m OR fscore >= 0.8 AS match,
+           ROUND(CASE WHEN exact_m OR numeric_m THEN 1.0 ELSE fscore END, 6) AS score,
+           CASE WHEN exact_m THEN 'exact match after normalization'
+                WHEN numeric_m THEN 'numeric equality after currency normalization'
+                WHEN fscore >= 0.8 THEN 'fuzzy similarity at or above threshold'
+                ELSE 'below similarity threshold' END AS reason
+    FROM verdict
+    """,
+)
+def judge_rule_cascade(spark, sf_dir):
+    """LLM-judge output contract (``comparator.py:596-833``) from the
+    deterministic rule cascade: punctuation-only drift judges exact,
+    truncation judges by fuzzy score, disjoint text is rejected — each
+    with the reference's {match, score, reason} shape."""
+    from ..operators.evaluation import compare_judge
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 4 == 0)
+    b = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lower("o_orderpriority"), F.lit(".")))
+        .when(F.col("o_orderkey") % 3 == 1, F.substring("o_orderpriority", 1, 4))
+        .otherwise(F.lit("totally different"))
+    )
+    res = o.select(
+        "o_orderkey", compare_judge(F.col("o_orderpriority"), b, 0.8).alias("j")
+    )
+    return res.select(
+        "o_orderkey",
+        F.col("j.match").alias("match"),
+        F.col("j.score").alias("score"),
+        F.col("j.reason").alias("reason"),
+    )
+
+
+@q(
     "hungarian_list_compare",
     """
     WITH pairs AS (

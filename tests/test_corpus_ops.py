@@ -192,3 +192,47 @@ class TestMultimodal:
         )
         for r in joined.collect():
             assert r["count"] == (r["duration_ms"] - 1) // 1000 + 1
+
+
+class TestMinhashRecall:
+    def test_high_jaccard_pairs_all_recovered(self, spark):
+        """Quantified recall: every pair with TRUE Jaccard >= 0.8 in the
+        fixture subset must be produced by the LSH path (at j=0.8 the
+        per-pair collision probability with 32 hashes / 8 bands is
+        1-(1-0.8^4)^8 ~ 0.985, and the pipeline is deterministic given
+        the corpus, so this is a hard assertion, not a flaky bound)."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+            F.col("doc_id") % 3 == 0
+        )
+        # brute-force truth: block-free all-pairs jaccard on 2-gram shingles
+        t = docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.shingles(dedup.tokens("text"), 2).alias("sh"),
+        )
+        truth = {
+            (r["id_a"], r["id_b"])
+            for r in (
+                t.alias("l")
+                .join(t.alias("r"), F.col("l.id") < F.col("r.id"))
+                .select(
+                    F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"),
+                    (
+                        F.size(F.array_intersect("l.sh", "r.sh"))
+                        / F.size(F.array_union("l.sh", "r.sh"))
+                    ).alias("j"),
+                )
+                .where(F.col("j") >= 0.8)
+                .collect()
+            )
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs, shingle_n=2, num_hashes=32, bands=8, jaccard_threshold=0.8
+            ).collect()
+        }
+        assert truth, "fixture must contain at least one high-jaccard pair"
+        assert truth <= got or truth == got  # full recall at j>=0.8
+        # and no false positives below the threshold (verify step is exact)
+        assert got <= truth

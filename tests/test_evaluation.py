@@ -173,3 +173,31 @@ class TestMetrics:
         )
         m = ev.page_classification_accuracy(pred, gold).collect()[0]
         assert m["page_classification_accuracy"] == 0.5
+
+
+class TestJudgeCascade:
+    def test_judge_contract_and_reasons(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluation import (
+            compare_judge,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "Hello, World", "hello world"),     # exact after norm
+                (2, "$1,234.50", "1234.5"),             # numeric equality only
+                                                        # (norm_text differs: 123450 vs 12345)
+                (3, "hello world", "helo world"),       # fuzzy >= 0.8
+                (4, "hello world", "zzz"),              # rejected
+            ],
+            "id int, a string, b string",
+        )
+        got = {
+            r["id"]: r["j"]
+            for r in df.select("id", compare_judge(F.col("a"), F.col("b"), 0.8).alias("j")).collect()
+        }
+        assert got[1]["match"] and got[1]["reason"] == "exact match after normalization"
+        assert got[1]["score"] == 1.0
+        assert got[2]["match"] and "numeric equality" in got[2]["reason"]
+        assert got[3]["match"] and "fuzzy similarity" in got[3]["reason"]
+        assert 0.8 <= got[3]["score"] < 1.0
+        assert not got[4]["match"] and got[4]["reason"] == "below similarity threshold"
