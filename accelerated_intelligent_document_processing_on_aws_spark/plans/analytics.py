@@ -886,3 +886,53 @@ def q17_small_quantity(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# -- event-time sessionization (gap > 30 min starts a new session) -----------
+@q(
+    "sessionize_time_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_time_gap(spark, sf_dir):
+    """Event-time sessionization: a >30-minute silence starts a new
+    session — the time-gap twin of the class-change gaps-and-islands
+    used for BIO sections (one shuffle on the session key, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col("ts")) - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", F.sum(new_s).over(running).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").cast("long").alias("first_event"),
+        )
+    )

@@ -91,6 +91,27 @@ def register_section_tables(
     return names
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) on the join
+    key — the 100 TB lever for repeated conv-keyed work: two tables
+    bucketed the same way join with NO Exchange (Spark reads bucket i of
+    each side into the same task), and ``sortBy`` additionally removes
+    the sort under SortMergeJoin.  At warehouse scale this is how the
+    extracted/sections/evaluation tables co-locate so every downstream
+    per-conversation join or window is shuffle-free."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def metering_table(extracted: DataFrame) -> DataFrame:
     """Long-format metering rows per turn: (conv_id, context, unit,
     value, ts) — the exploded analog of ``merge_metering_data``'s nested

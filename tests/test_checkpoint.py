@@ -229,3 +229,43 @@ class TestDeleteConversations:
         # idempotent + audited
         assert delete_conversations(spark, out, victims) == {}
         assert read_manifest(out)["deletions"][0]["conv_ids"] == sorted(victims)
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark):
+        """Two tables bucketed identically on conv_id must join without
+        any shuffle: the physical plan contains a SortMergeJoin and ZERO
+        Exchange nodes — the co-location contract the 100TB layout
+        relies on."""
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+            write_bucketed_table,
+        )
+
+        rows = [(f"c{i % 37}", i, float(i % 7)) for i in range(2000)]
+        a = spark.createDataFrame(rows, "conv_id string, turn_idx int, v double")
+        # conv-level dim (e.g. the per-conversation sections rollup),
+        # bucketed the same way as the turns table
+        b = (
+            spark.createDataFrame(rows, "conv_id string, turn_idx int, w double")
+            .groupBy("conv_id")
+            .agg(F.sum("w").alias("w"))
+        )
+        db = "idp_test_bucketed"
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        # the in-memory catalog drop does not remove a PREVIOUS session's
+        # warehouse files; clear the location so saveAsTable can manage it
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        shutil.rmtree(os.path.join(warehouse, f"{db}.db"), ignore_errors=True)
+        spark.sql(f"CREATE DATABASE {db}")
+        write_bucketed_table(a, f"{db}.turns_a", ["conv_id"], 8, ["conv_id", "turn_idx"])
+        write_bucketed_table(b, f"{db}.conv_dim", ["conv_id"], 8, ["conv_id"])
+        ta = spark.table(f"{db}.turns_a")
+        tb = spark.table(f"{db}.conv_dim")
+        joined = ta.hint("merge").join(tb, ["conv_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == 2000
+        spark.sql(f"DROP DATABASE {db} CASCADE")
