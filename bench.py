@@ -93,12 +93,16 @@ def main() -> None:
     n_turns = transcripts.count()
     # warm the kernel path once (python workers + codegen are session
     # one-time costs, not engine throughput), then time the full corpus
+    # min-of-2 — same steady-state policy as the per-query timings (this
+    # VM shows ±4× hypervisor steal-noise on multi-second measurements)
     extract_turns(transcripts.limit(20_000), num_partitions=CPUS, salt=16).count()
-    t0 = time.perf_counter()
-    extracted = extract_turns(transcripts, num_partitions=CPUS * 3, salt=16)
-    out_rows = extracted.count()
-    extract_sec = time.perf_counter() - t0
-    assert out_rows == n_turns, (out_rows, n_turns)
+    extract_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        extracted = extract_turns(transcripts, num_partitions=CPUS * 3, salt=16)
+        out_rows = extracted.count()
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
+        assert out_rows == n_turns, (out_rows, n_turns)
     turns_per_sec = n_turns / extract_sec
 
     # -- headline queries -------------------------------------------------

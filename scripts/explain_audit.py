@@ -137,6 +137,34 @@ def main() -> None:
         similarity.lsh_topk(emb, qs, k=3, dim=64, bits=4, n_tables=4),
     )
 
+    # bucketed co-located join: write two identically-bucketed tables and
+    # show the join plan carries NO Exchange
+    from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+        write_bucketed_table,
+    )
+
+    db = "plans_audit_bucketed"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    import shutil as _sh
+
+    _wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    _sh.rmtree(os.path.join(_wh, f"{db}.db"), ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db}")
+    turns_small = tdisk.select("conv_id", "turn_idx", "role")
+    dim_small = tdisk.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    write_bucketed_table(turns_small, f"{db}.turns", ["conv_id"], 8, ["conv_id", "turn_idx"])
+    write_bucketed_table(dim_small, f"{db}.conv_dim", ["conv_id"], 8, ["conv_id"])
+    add(
+        "Bucketed co-located join (zero Exchange)",
+        "Both tables bucketed by conv_id into the same bucket count: the "
+        "SortMergeJoin has NO Exchange on either side — the layout that "
+        "makes every repeated per-conversation join shuffle-free at "
+        "warehouse scale.",
+        spark.table(f"{db}.turns").hint("merge").join(
+            spark.table(f"{db}.conv_dim"), ["conv_id"]
+        ),
+    )
+
     add(
         "Single-class fast path",
         "Pure projection + one hash-aggregate exchange; NO Python/UDF "
