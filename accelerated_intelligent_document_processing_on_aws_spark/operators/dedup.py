@@ -438,6 +438,80 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → duplicate
+    CLUSTERS ``(id, cluster_id)`` with ``cluster_id`` = the minimum
+    member id (the canonical representative).
+
+    A dedup pipeline needs clusters, not pairs: transitive chains
+    (A≈B, B≈C) must collapse to one keeper even when A and C never
+    collided.  Iterative min-label propagation: each round every node
+    adopts the smallest label among itself and its neighbors — one
+    shuffle join + one aggregation per round, converging in
+    O(component diameter) rounds (near-dup clusters are shallow; the
+    loop stops early when a round changes nothing).  ``localCheckpoint``
+    every round truncates the lineage so the plan does not grow with
+    iterations — the standard Spark iterative-graph pattern.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = und.localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster: keep
+    the minimum id per connected component, plus all docs that appear in
+    no pair.  The cluster table is tiny relative to the corpus (only
+    docs with at least one near-dup), so the anti side broadcasts."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard & embedding near-dup
 # ---------------------------------------------------------------------------
 

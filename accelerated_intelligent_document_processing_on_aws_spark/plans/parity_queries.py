@@ -577,6 +577,46 @@ def hungarian_list_compare(spark, sf_dir):
 
 
 @q(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id % 4 = 0
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), und AS (
+      SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p
+    ), closure(a, b) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT c.a, u.d FROM closure c JOIN und u ON c.b = u.s
+    )
+    SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id
+    FROM closure GROUP BY a
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """Duplicate clusters from near-dup pairs: Spark runs iterative
+    min-label propagation (O(diameter) shuffle rounds); the oracle
+    computes the same components by recursive transitive closure —
+    feasible exactly because fixture components are small, while the
+    Spark path is the one that scales."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    from ..operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(d, "source", n=2, threshold=0.5)
+    return dedup.duplicate_clusters(pairs)
+
+
+@q(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,

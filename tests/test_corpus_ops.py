@@ -236,3 +236,32 @@ class TestMinhashRecall:
         assert truth <= got or truth == got  # full recall at j>=0.8
         # and no false positives below the threshold (verify step is exact)
         assert got <= truth
+
+
+class TestDuplicateClusters:
+    def test_transitive_chain_collapses(self, spark):
+        """A~B, B~C, D~E with no A~C pair: components {A,B,C} and {D,E},
+        canonical = min id; F untouched by keep-canonical."""
+        pairs = spark.createDataFrame(
+            [(2, 3), (1, 2), (4, 5)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in (1, 2, 3, 4, 5, 6)], "doc_id long, text string"
+        )
+        kept = sorted(
+            r["doc_id"] for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+        )
+        assert kept == [1, 4, 6]  # cluster canonicals + the singleton
+
+    def test_long_chain_converges(self, spark):
+        """A path graph needs O(diameter) rounds — make sure propagation
+        actually iterates to a fixpoint, not just one hop."""
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == {i: 0 for i in range(n + 1)}
