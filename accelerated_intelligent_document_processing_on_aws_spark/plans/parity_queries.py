@@ -576,6 +576,75 @@ def hungarian_list_compare(spark, sf_dir):
     )
 
 
+_HASH_U = (
+    "CAST(CAST('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8) AS BIGINT) "
+    "AS DOUBLE) / 4294967296.0"
+)
+
+
+@q(
+    "hash_split_conversations",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN {_HASH_U.format(k="source")} < 0.8 THEN 'train'
+                WHEN {_HASH_U.format(k="source")} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split_conversations(spark, sf_dir):
+    """Deterministic train/val/test split keyed on the SOURCE (whole
+    sources stay in one split — no leakage), reproducible in any engine
+    with md5: the split column is recomputable from the row alone."""
+    from ..operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(d, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
+@q(
+    "stratified_hash_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HASH_U.format(k="doc_id")} <
+          CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 0.1 END
+    """,
+)
+def stratified_hash_sample_docs(spark, sf_dir):
+    """Per-language deterministic downsampling (the corpus-balancing
+    step of a curation pipeline), reproducible across engines/reruns."""
+    from ..operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "de": 0.5}, default_fraction=0.1
+    )
+
+
+@q(
+    "pack_token_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars AS cum
+      FROM documents
+    )
+    SELECT doc_id, CAST(FLOOR(CAST(cum AS DOUBLE) / 4096) AS INT) AS window_id
+    FROM t
+    """,
+)
+def pack_token_windows_docs(spark, sf_dir):
+    """Sequence packing into ~4096-token context windows per source
+    feed: exclusive running sum → window id, one window shuffle."""
+    from ..operators.sampling import pack_token_windows
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return pack_token_windows(
+        d, "doc_id", "n_chars", 4096, part_col="source"
+    ).select("doc_id", "window_id")
+
+
 @q(
     "near_dup_clusters",
     """

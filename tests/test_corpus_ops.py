@@ -265,3 +265,37 @@ class TestDuplicateClusters:
         )
         got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
         assert got == {i: 0 for i in range(n + 1)}
+
+
+class TestSamplingOps:
+    def test_hash_split_deterministic_and_leak_free(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            sampling,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"conv{i % 20}") for i in range(400)], "id long, conv string"
+        )
+        out = sampling.hash_split(df, "conv", {"train": 0.8, "val": 0.1, "test": 0.1})
+        # same key -> same split always (no leakage across a conversation)
+        per_conv = out.groupBy("conv").agg(
+            F.count_distinct("split").alias("n_splits")
+        )
+        assert per_conv.where(F.col("n_splits") > 1).count() == 0
+        # rerun identical
+        again = sampling.hash_split(df, "conv", {"train": 0.8, "val": 0.1, "test": 0.1})
+        assert out.exceptAll(again).count() == 0
+
+    def test_pack_token_windows_monotone_and_bounded(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            sampling,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 300) for i in range(10)], "id long, tokens int"
+        )
+        out = sampling.pack_token_windows(df, "id", "tokens", 1000).collect()
+        wids = [r["window_id"] for r in sorted(out, key=lambda r: r["id"])]
+        # 1000/300: windows of 4 docs each (doc starting under the
+        # boundary joins the window its predecessors filled)
+        assert wids == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
