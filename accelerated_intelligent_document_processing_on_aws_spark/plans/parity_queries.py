@@ -686,6 +686,97 @@ def near_dup_clusters(spark, sf_dir):
 
 
 @q(
+    "training_data_pipeline",
+    f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND lang IN ('en', 'de', 'fr')
+    ), exact_dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
+             )) AS g
+      FROM exact_dedup
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+    ), und AS (
+      SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p
+    ), closure(a, b) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT c.a, u.d FROM closure c JOIN und u ON c.b = u.s
+    ), losers AS (
+      SELECT a AS doc_id FROM closure GROUP BY a HAVING a <> LEAST(a, MIN(b))
+    ), canon AS (
+      SELECT e.* FROM exact_dedup e LEFT JOIN losers l ON e.doc_id = l.doc_id
+      WHERE l.doc_id IS NULL
+    )
+    SELECT CASE WHEN {_HASH_U.format(k="source")} < 0.8 THEN 'train'
+                WHEN {_HASH_U.format(k="source")} < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens
+    FROM canon GROUP BY 1
+    """,
+)
+def training_data_pipeline(spark, sf_dir):
+    """Round-2 capstone: the full training-data preparation pipeline in
+    one plan — quality gate (min tokens) → language allowlist → exact
+    dedup (fingerprint, keep lowest id) → NEAR-dup collapse (n-gram
+    Jaccard pairs → connected components → keep canonical) →
+    conversation-safe deterministic split → per-split corpus stats.
+    Every stage is an operator this engine ships; the DuckDB twin
+    (recursive closure and all) verifies the whole composition."""
+    from pyspark.sql import Window
+
+    from ..operators import textstats
+    from ..operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        textstats.ws_token_count("text").alias("n_tokens"),
+        textstats.fingerprint_md5("text").alias("fp"),
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= 20) & F.col("lang").isin("en", "de", "fr")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_dedup = (
+        kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    from ..operators import dedup as dd
+
+    pairs = dd.ngram_jaccard_pairs(exact_dedup, "source", n=2, threshold=0.5)
+    canon = dd.dedup_keep_canonical(exact_dedup, pairs)
+    split = hash_split(canon, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+
+
+@q(
     "multimodal_features",
     """
     SELECT doc_id AS media_id,
