@@ -15,7 +15,7 @@ genson-based inference (``evaluation/service.py:221-265``,
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -118,6 +118,61 @@ def empty_schema_gate(sections: DataFrame, attr_config: DataFrame):
         F.lit(0).alias("output_tokens"),
     )
     return to_extract, skipped
+
+
+def infer_scalar_type(value: Column) -> Column:
+    """JSON-schema scalar type from a raw JSON value token — the
+    per-value rule of the reference's genson auto-schema
+    (``evaluation/service.py:221-264``): integer / number / boolean /
+    null / string."""
+    return (
+        F.when(value.isNull(), F.lit("null"))
+        .when(value.rlike(r"^-?\d+$"), F.lit("integer"))
+        .when(value.rlike(r"^-?\d+\.\d+([eE][+-]?\d+)?$"), F.lit("number"))
+        .when(value.isin("true", "false"), F.lit("boolean"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def discover_attributes(df: DataFrame, class_col: str, json_col: str) -> DataFrame:
+    """Per-class attribute-schema discovery over extracted JSON records —
+    the data-driven analog of the reference's discovery module
+    (``discovery/classes_discovery.py``: per-document schema proposals
+    merged into the class config; the inference rule itself mirrors the
+    genson auto-schema of ``evaluation/service.py:221-264``).
+
+    Each record's keys explode (one ``from_json`` map parse, no UDF);
+    per (classification, attribute) the output reports how many class
+    records carry the attribute, the occurrence rate, and the majority
+    inferred type (ties break lexicographically) — exactly what a
+    schema-config author needs to promote discovered attributes.
+    Returns (classification, attribute_name, n_present, occurrence_rate,
+    inferred_type)."""
+    w = Window.partitionBy(class_col)
+    base = df.withColumn("_n_class", F.count(F.lit(1)).over(w))
+    kv = base.select(
+        F.col(class_col).alias("classification"),
+        "_n_class",
+        F.explode(F.from_json(F.col(json_col), "map<string,string>")).alias(
+            "attribute_name", "_raw"
+        ),
+    ).withColumn("_type", infer_scalar_type(F.col("_raw")))
+    typed = (
+        kv.groupBy("classification", "attribute_name", "_type")
+        .agg(F.count(F.lit(1)).alias("n_typed"), F.first("_n_class").alias("_n_class"))
+    )
+    rank = Window.partitionBy("classification", "attribute_name").orderBy(
+        F.desc("n_typed"), F.asc("_type")
+    )
+    return (
+        typed.withColumn("_rk", F.row_number().over(rank))
+        .groupBy("classification", "attribute_name")
+        .agg(
+            F.sum("n_typed").alias("n_present"),
+            F.round(F.sum("n_typed") / F.first("_n_class"), 6).alias("occurrence_rate"),
+            F.max(F.when(F.col("_rk") == 1, F.col("_type"))).alias("inferred_type"),
+        )
+    )
 
 
 def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:

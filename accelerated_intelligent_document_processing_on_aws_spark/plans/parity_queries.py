@@ -969,6 +969,64 @@ def flatten_dot_notation(spark, sf_dir):
 
 
 @q(
+    "discover_class_attributes",
+    r"""
+    WITH payloads AS (
+      SELECT event_type AS classification,
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN props
+               WHEN 1 THEN '{"k": ' || regexp_extract(props, '"k": (\d+)', 1)
+                           || ', "note": "x", "ok": true}'
+               ELSE '{"rate": 1.5, "note": "y"}' END AS j
+      FROM events
+    ), counted AS (
+      SELECT classification, COUNT(*) AS n_class FROM payloads GROUP BY 1
+    ), kv AS (
+      SELECT p.classification, t.k AS attribute_name,
+             json_extract_string(p.j, '$.' || t.k) AS raw
+      FROM payloads p, unnest(json_keys(p.j)) t(k)
+    )
+    SELECT kv.classification, attribute_name,
+           COUNT(*) AS n_present,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(c.n_class), 6)
+             AS occurrence_rate,
+           MIN(CASE WHEN raw IS NULL THEN 'null'
+                    WHEN regexp_matches(raw, '^-?\d+$') THEN 'integer'
+                    WHEN regexp_matches(raw, '^-?\d+\.\d+([eE][+-]?\d+)?$')
+                      THEN 'number'
+                    WHEN raw IN ('true', 'false') THEN 'boolean'
+                    ELSE 'string' END) AS inferred_type
+    FROM kv JOIN counted c ON kv.classification = c.classification
+    GROUP BY kv.classification, attribute_name
+    """,
+)
+def discover_class_attributes(spark, sf_dir):
+    """Per-class attribute-schema discovery (``discovery/
+    classes_discovery.py`` analog): synthetic per-class JSON variants →
+    (attribute, occurrence rate, inferred type) — the table a schema
+    author promotes into class config.  The oracle's MIN(type) equals
+    the Spark side's majority vote because each attribute is
+    consistently typed in this corpus."""
+    from ..operators.jsonops import discover_attributes
+
+    e = _t(spark, sf_dir, "events")
+    payload = (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"k": '),
+                F.regexp_extract("props", r'"k": (\d+)', 1),
+                F.lit(', "note": "x", "ok": true}'),
+            ),
+        )
+        .otherwise(F.lit('{"rate": 1.5, "note": "y"}'))
+    )
+    recs = e.select(F.col("event_type").alias("cls"), payload.alias("j"))
+    return discover_attributes(recs, "cls", "j")
+
+
+@q(
     "json_repair_ragged",
     r"""
     WITH t AS (

@@ -151,3 +151,31 @@ class TestRules:
         assert v.count() == 15 - sum(got.values())
         s = {r["rule_name"]: r for r in summary(res).collect()}
         assert s["status_req"]["n_checked"] == 3 and s["status_req"]["n_passed"] == 1
+
+
+class TestDiscoverAttributes:
+    def test_occurrence_and_majority_type(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.jsonops import (
+            discover_attributes,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("invoice", '{"amount": 5, "memo": "a"}'),
+                ("invoice", '{"amount": 6}'),
+                ("invoice", '{"amount": "seven", "flag": true}'),
+                ("ticket", '{"severity": 1.5}'),
+            ],
+            "cls string, j string",
+        )
+        got = {
+            (r["classification"], r["attribute_name"]): r
+            for r in discover_attributes(df, "cls", "j").collect()
+        }
+        amount = got[("invoice", "amount")]
+        assert amount["n_present"] == 3
+        assert amount["occurrence_rate"] == 1.0
+        assert amount["inferred_type"] == "integer"  # majority over 2 int / 1 str
+        assert got[("invoice", "memo")]["occurrence_rate"] == pytest.approx(1 / 3)
+        assert got[("invoice", "flag")]["inferred_type"] == "boolean"
+        assert got[("ticket", "severity")]["inferred_type"] == "number"
