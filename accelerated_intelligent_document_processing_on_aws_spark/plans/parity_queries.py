@@ -282,6 +282,75 @@ def sections_page_events(spark, sf_dir):
     )
 
 
+@q(
+    "asof_join_events",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_id % 5 = 0
+    ), r AS (
+      SELECT user_id, ts, MAX(event_id) AS r_event
+      FROM events WHERE event_id % 5 <> 0 GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, r.r_event AS asof_r_event
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join (a built-in Spark lacks): every 5th event picks the
+    most recent OTHER event at-or-before its timestamp per user —
+    implemented as the one-shuffle union-sort-window composition and
+    verified against DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_id") % 5 == 0).select("user_id", "event_id", "ts")
+    right = (
+        e.where(F.col("event_id") % 5 != 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], value_cols=["r_event"])
+    return out.select("user_id", "event_id", F.col("asof_r_event"))
+
+
+@q(
+    "range_join_windows",
+    """
+    WITH i AS (
+      SELECT user_id, event_id AS interval_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT i.user_id, i.interval_id, COUNT(p.event_id) AS n_points
+    FROM i JOIN events p
+      ON i.user_id = p.user_id AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+    GROUP BY i.user_id, i.interval_id
+    """,
+)
+def range_join_windows(spark, sf_dir):
+    """Range join (interval containment): 2-hour windows anchored at
+    every 10th event count the user's events inside them.  The Spark
+    side bucketizes both sides onto an hour grid so the join is an
+    equi-join + exact filter (per-key cross-products never form); the
+    oracle states the plain inequality semantics."""
+    from ..operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    intervals = e.where(F.col("event_id") % 10 == 0).select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    points = e.select("user_id", F.col("event_id").alias("point_id"), F.col("ts"))
+    joined = range_join(
+        intervals, points, ["user_id"], "start_ts", "end_ts", "ts", bucket_seconds=3600
+    )
+    return joined.groupBy("user_id", "interval_id").agg(
+        F.count("point_id").alias("n_points")
+    )
+
+
 _THRESHOLDS = [("click", 0.4), ("view", 0.2), ("error", 0.9)]
 
 

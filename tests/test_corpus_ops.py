@@ -299,3 +299,71 @@ class TestSamplingOps:
         # 1000/300: windows of 4 docs each (doc starting under the
         # boundary joins the window its predecessors filled)
         assert wids == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+class TestTemporalJoins:
+    def test_asof_backward_inclusive_and_null(self, spark):
+        from datetime import datetime
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            asof_join,
+        )
+
+        def t(h):
+            return datetime(2026, 1, 1, h)
+
+        left = spark.createDataFrame(
+            [("u", 1, t(5)), ("u", 2, t(10)), ("u", 3, t(1))],
+            "user string, lid int, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [("u", t(5), 50.0), ("u", t(8), 80.0)], "user string, ts timestamp, px double"
+        )
+        got = {
+            r["lid"]: r["asof_px"]
+            for r in asof_join(left, right, "ts", ["user"], ["px"]).collect()
+        }
+        assert got[1] == 50.0   # inclusive at equal ts
+        assert got[2] == 80.0   # latest at-or-before
+        assert got[3] is None   # nothing precedes
+
+    def test_asof_forward(self, spark):
+        from datetime import datetime
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            asof_join,
+        )
+
+        left = spark.createDataFrame(
+            [("u", 1, datetime(2026, 1, 1, 5))], "user string, lid int, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [("u", datetime(2026, 1, 1, 7), 70.0), ("u", datetime(2026, 1, 1, 9), 90.0)],
+            "user string, ts timestamp, px double",
+        )
+        got = asof_join(left, right, "ts", ["user"], ["px"], direction="forward").collect()
+        assert got[0]["asof_px"] == 70.0  # earliest at-or-after
+
+    def test_range_join_containment_inclusive(self, spark):
+        from datetime import datetime
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            range_join,
+        )
+
+        def t(h, m=0):
+            return datetime(2026, 1, 1, h, m)
+
+        ivals = spark.createDataFrame(
+            [("u", 1, t(5), t(7))], "user string, iid int, s timestamp, e timestamp"
+        )
+        pts = spark.createDataFrame(
+            [("u", 10, t(5)), ("u", 11, t(6, 30)), ("u", 12, t(7)), ("u", 13, t(7, 1)),
+             ("v", 14, t(6))],
+            "user string, pid int, ts timestamp",
+        )
+        got = sorted(
+            r["pid"]
+            for r in range_join(ivals, pts, ["user"], "s", "e", "ts", 3600).collect()
+        )
+        assert got == [10, 11, 12]  # inclusive both ends, key-scoped
