@@ -139,10 +139,35 @@ _YAML_PATTERNS = (
 )
 
 
+def _yaml_scalar(v: str):
+    """YAML 1.1 scalar coercion for the no-pyyaml fallback: int/float/
+    bool/null literals become typed values so both parser paths produce
+    the SAME canonical JSON ('k: 8' → {"k": 8}, never {"k": "8"})."""
+    low = v.lower()
+    if low in ("null", "~", ""):
+        return None
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+        return v[1:-1]
+    return v
+
+
 def _yaml_load(text: str):
     """YAML parse → python value, or raise.  Uses pyyaml when importable;
-    otherwise a minimal flat ``key: value`` subset so format detection
-    still works without the dependency."""
+    otherwise a minimal flat ``key: value`` subset (with typed scalar
+    coercion matching pyyaml) so detection AND extraction stay
+    environment-independent without the dependency."""
     if _yaml is not None:
         return _yaml.safe_load(text)
     out = {}
@@ -153,7 +178,7 @@ def _yaml_load(text: str):
         if ":" not in line:
             raise ValueError(f"not flat yaml: {line!r}")
         k, _, v = line.partition(":")
-        out[k.strip()] = v.strip() or None
+        out[k.strip()] = _yaml_scalar(v.strip())
     return out
 
 

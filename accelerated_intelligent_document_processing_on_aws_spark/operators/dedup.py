@@ -380,11 +380,25 @@ def simhash_pairs(
     selective — at 64 bits, ``max_hamming`` ≤ 7 keeps chunks ≥ 8 bits;
     beyond that the banding degrades toward all-pairs and a warning is
     the caller's cue to rethink the threshold."""
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
     n_chunks = max_hamming + 1
     if n_chunks > 64:
         raise ValueError("max_hamming must be < 64 for a 64-bit fingerprint")
     widths = [64 // n_chunks + (1 if i < 64 % n_chunks else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def _chunk_expr(i):
+        # width==64 only at n_chunks==1 (max_hamming=0, exact-fingerprint
+        # dedup): (1<<64)-1 overflows LongType, and no mask is needed —
+        # the chunk IS the fingerprint
+        if widths[i] == 64:
+            return F.col("fp")
+        return (
+            F.shiftrightunsigned(F.col("fp"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        )
+
     fp = docs.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp")).where(
         F.col("fp").isNotNull()
     )
@@ -396,9 +410,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).cast("int").alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("fp"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("chunk"),
+                        _chunk_expr(i).alias("chunk"),
                     )
                     for i in range(n_chunks)
                 ]
@@ -446,6 +458,8 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    check_every: int = 1,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS → duplicate
     CLUSTERS ``(id, cluster_id)`` with ``cluster_id`` = the minimum
@@ -460,7 +474,21 @@ def duplicate_clusters(
     loop stops early when a round changes nothing).  ``localCheckpoint``
     every round truncates the lineage so the plan does not grow with
     iterations — the standard Spark iterative-graph pattern.
+
+    ``check_every``: run the driver-side convergence ``count()`` only
+    every k rounds (at very large cluster counts the per-round count job
+    is the overhead; the propagation joins themselves are idempotent, so
+    extra rounds past convergence are cheap no-ops).
+
+    ``strict``: if the final checked round still had label changes —
+    a component's diameter exceeded ``max_iter`` — raise rather than
+    return partially-merged labels (a downstream
+    :func:`dedup_keep_canonical` would otherwise silently keep several
+    "canonical" docs of one true cluster).  ``strict=False`` degrades
+    to a ``warnings.warn``.
     """
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -469,7 +497,8 @@ def duplicate_clusters(
     labels = (
         und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         neighbor_min = (
             und.join(labels, und.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -485,15 +514,30 @@ def duplicate_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        do_check = ((it + 1) % check_every == 0) or (it == max_iter - 1)
+        if do_check:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            break
+    if not converged:
+        msg = (
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds — a component's diameter exceeds the budget; labels are "
+            "PARTIAL (raise max_iter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -72,19 +72,34 @@ def string_to_list(col: Column | str) -> Column:
     FLAT lists of scalars (nested list literals fall back to the
     single-item branch, same as the reference's SyntaxError fallback);
     :func:`convert_to_list` in ``kernel/strings.py`` is the exact
-    Python twin used inside kernels."""
+    Python twin used inside kernels.
+
+    Quoted items are comma-safe: ``["a,b"]`` parses via ``from_json``
+    to ONE item (round-2 advice — the bare comma split broke it into
+    two); single-quoted literals (``['a,b']``) go through a
+    quote-translated ``from_json``.  Only quote-free inners use the
+    comma split, where every comma really is a separator."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.trim(c.cast("string"))
     listish = s.rlike(r"^\[[^\[\]]*\]$")  # flat [...] only
     inner = F.trim(F.regexp_replace(s, r"^\[\s*|\s*\]$", ""))
+    no_quotes = ~inner.rlike("[\"']")
     items = F.transform(
         F.split(inner, ","),
         lambda x: F.regexp_replace(F.trim(x), "^[\"']|[\"']$", ""),
     )
+    # quoted payloads: real JSON parse (comma-inside-quote safe); the
+    # single-quote variant covers Python-repr literals like ['a,b']
+    # with no embedded double quotes (ast.literal_eval's common case)
+    json_arr = F.from_json(s, "array<string>")
+    json_arr_sq = F.from_json(F.translate(s, "'", '"'), "array<string>")
     return (
         F.when(c.isNull(), F.array().cast("array<string>"))
         .when(listish & (inner == ""), F.array().cast("array<string>"))
-        .when(listish, items)
+        .when(listish & no_quotes, items)
+        .when(listish & json_arr.isNotNull(), json_arr)
+        .when(listish & json_arr_sq.isNotNull(), json_arr_sq)
+        .when(listish, items)  # ragged quoting: best-effort split
         .otherwise(F.array(s))
     )
 

@@ -24,9 +24,14 @@ and silently dropped it — a correctness bug.  Now:
   **counted** in state (``n_dups``, surfaced by :func:`state_metrics`
   on the emitted rows via the ``pending_after`` / ``dups_after``
   columns) — idempotent skip, never silent;
-- a reorder buffer above ``max_pending`` raises ``RuntimeError`` —
-  an upstream gap (a genuinely missing turn) must fail the job loudly,
-  never emit mis-numbered sections.
+- a reorder buffer still above ``max_pending`` AFTER the contiguous
+  frontier has been drained raises ``RuntimeError`` — an upstream gap
+  (a genuinely missing turn) must fail the job loudly, never emit
+  mis-numbered sections.  The check runs post-drain so a single large
+  in-order micro-batch (a backfill delivering >max_pending contiguous
+  turns at once) is NOT a failure: those rows drain to zero pending.
+  ``max_pending`` is a real parameter of :func:`streaming_sections`
+  (default ``MAX_PENDING_DEFAULT``).
 """
 
 from __future__ import annotations
@@ -69,14 +74,20 @@ STATE_SCHEMA = T.StructType(
 MAX_PENDING_DEFAULT = 100_000
 
 
-def _make_segment_group(flush_timeout_ms: int | None = None):
+def _make_segment_group(
+    flush_timeout_ms: int | None = None, max_pending: int = MAX_PENDING_DEFAULT
+):
     """Build the applyInPandasWithState function.
 
     ``flush_timeout_ms``: when set, a conversation that receives no data
     for that long has its reorder buffer FLUSHED in sorted order across
     any gaps — each flushed row marked ``gap_flushed=true`` so a
     downstream sink can quarantine it (the alternative is holding the
-    buffer forever when an upstream truly lost a turn)."""
+    buffer forever when an upstream truly lost a turn).
+
+    ``max_pending``: reorder-buffer ceiling, checked AFTER the
+    contiguous frontier drains (a gap leaves the buffer non-drainable;
+    in-order backfills drain to zero and never trip it)."""
 
     def _segment_group(
         key: tuple,
@@ -105,13 +116,6 @@ def _make_segment_group(flush_timeout_ms: int | None = None):
                         continue
                     pending[ti] = (cls, boundary)
 
-        if len(pending) > MAX_PENDING_DEFAULT:
-            raise RuntimeError(
-                f"conv {conv_id}: reorder buffer {len(pending)} exceeds "
-                f"{MAX_PENDING_DEFAULT} — upstream turn gap, refusing to emit "
-                "mis-numbered sections"
-            )
-
         out_rows: list[tuple] = []
 
         def emit_frontier(gap_flushed: bool) -> None:
@@ -128,6 +132,15 @@ def _make_segment_group(flush_timeout_ms: int | None = None):
         # drain the contiguous frontier (turn indices are 0-based
         # contiguous per the transcript contract; later turns wait)
         emit_frontier(gap_flushed=False)
+
+        # post-drain guard: anything still pending is ahead of a true
+        # gap — bound the buffer; a large in-order batch drained above
+        if len(pending) > max_pending:
+            raise RuntimeError(
+                f"conv {conv_id}: reorder buffer {len(pending)} exceeds "
+                f"{max_pending} after frontier drain — upstream turn gap, "
+                "refusing to emit mis-numbered sections"
+            )
 
         if timed_out and pending:
             # flush across gaps in sorted order, marked loudly
@@ -167,14 +180,17 @@ _segment_group = _make_segment_group(None)
 
 
 def streaming_sections(
-    extracted_stream: DataFrame, flush_timeout_ms: int | None = None
+    extracted_stream: DataFrame,
+    flush_timeout_ms: int | None = None,
+    max_pending: int = MAX_PENDING_DEFAULT,
 ) -> DataFrame:
     """Per-turn section ids over a streaming extracted DataFrame
     (needs conv_id, turn_idx, classification, boundary).
 
     With ``flush_timeout_ms`` set, idle conversations flush their
     reorder buffer across gaps (rows marked ``gap_flushed``) instead of
-    holding it forever."""
+    holding it forever.  ``max_pending`` bounds the reorder buffer
+    (checked after the contiguous frontier drains)."""
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if flush_timeout_ms is not None
@@ -184,7 +200,7 @@ def streaming_sections(
         extracted_stream.select("conv_id", "turn_idx", "classification", "boundary")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_segment_group(flush_timeout_ms),
+            _make_segment_group(flush_timeout_ms, max_pending),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",

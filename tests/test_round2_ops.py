@@ -241,3 +241,80 @@ class TestNameRegexFastPath:
         assert got["inv-1"]["confidence"] == 1.0
         # unmatched conversations fall through to the classifier path
         assert [r["conv_id"] for r in unmatched.collect()] == ["other"]
+
+
+class TestAdviceR2Fixes:
+    """Round-2 advice items: quoted-comma list literals, simhash
+    max_hamming=0, unconverged-cluster signalling."""
+
+    def test_string_to_list_quoted_commas(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.jsonops import (
+            string_to_list,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '["a,b"]'),          # JSON, comma inside quotes
+                (2, '["a,b", "c"]'),
+                (3, "['a,b']"),          # python-repr single quotes
+                (4, "[a, b]"),           # unquoted: commas separate
+            ],
+            "id int, v string",
+        )
+        got = {
+            r["id"]: r["lst"]
+            for r in df.select("id", string_to_list("v").alias("lst")).collect()
+        }
+        assert got[1] == ["a,b"]
+        assert got[2] == ["a,b", "c"]
+        assert got[3] == ["a,b"]
+        assert got[4] == ["a", "b"]
+
+    def test_simhash_max_hamming_zero(self, spark):
+        """max_hamming=0 (exact-fingerprint dedup) must plan and run:
+        width-64 chunk masking used to overflow LongType."""
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            simhash_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumps over the lazy dog"),
+             (3, "completely different text about spark shuffles and joins")],
+            "doc_id int, text string",
+        )
+        rows = simhash_pairs(df, max_hamming=0).collect()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (1, 2) in got or (2, 1) in got
+        assert all(r["hamming"] == 0 for r in rows)
+
+    def test_duplicate_clusters_unconverged_raises(self, spark):
+        import pytest
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        # path graph 0-1-2-...-9: diameter 9, max_iter=2 cannot converge
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a int, id_b int"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_clusters(pairs, max_iter=2).collect()
+        with pytest.warns(UserWarning, match="did not converge"):
+            got = duplicate_clusters(pairs, max_iter=2, strict=False)
+            got.collect()
+
+    def test_duplicate_clusters_check_every(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            duplicate_clusters,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(pairs, check_every=3).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

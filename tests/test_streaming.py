@@ -250,3 +250,79 @@ class TestWatermarkLateData:
         # the 10:10 window was finalized by the 10:15 watermark push
         assert got.get((10, "a")) == 1
         assert len(got) == 3  # no duplicate/resurrected windows
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for direct _segment_group calls."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _run_group(fn, turns, state):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * len(turns),
+            "turn_idx": [t[0] for t in turns],
+            "classification": [t[1] for t in turns],
+            "boundary": [t[2] for t in turns],
+        }
+    )
+    return list(fn(("c1",), iter([pdf]), state))[0]
+
+
+class TestMaxPendingGuard:
+    """ADVICE r2: the buffer ceiling must apply AFTER the contiguous
+    frontier drains — a large perfectly in-order batch is valid input,
+    only a true gap may trip the guard."""
+
+    def test_large_inorder_batch_does_not_trip_guard(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+            _make_segment_group,
+        )
+
+        fn = _make_segment_group(None, max_pending=10)
+        turns = [(i, "a", "continue") for i in range(500)]  # 50x the cap, in order
+        out = _run_group(fn, turns, _FakeState())
+        assert len(out) == 500
+        assert out["pending_after"].max() == 0
+
+    def test_gap_over_cap_raises_loudly(self):
+        import pytest
+
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+            _make_segment_group,
+        )
+
+        fn = _make_segment_group(None, max_pending=10)
+        # turn 0 missing: nothing drains, 11 pending > 10
+        turns = [(i, "a", "continue") for i in range(1, 12)]
+        with pytest.raises(RuntimeError, match="upstream turn gap"):
+            _run_group(fn, turns, _FakeState())
+
+    def test_gap_under_cap_buffers(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+            _make_segment_group,
+        )
+
+        fn = _make_segment_group(None, max_pending=10)
+        turns = [(i, "a", "continue") for i in range(1, 9)]  # 8 pending <= 10
+        out = _run_group(fn, turns, _FakeState())
+        assert len(out) == 0  # waiting on turn 0
