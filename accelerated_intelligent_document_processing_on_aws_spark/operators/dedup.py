@@ -128,6 +128,67 @@ def minhash_band_hashes_udf(
     return _bands
 
 
+def minhash_bands_shingles_udf(
+    shingle_n: int = 3, num_hashes: int = 32, bands: int = 8, seed: int = 1
+):
+    """text → struct<bands: array<long>, sh: array<long>> — the band
+    hashes of :func:`minhash_band_hashes_udf` PLUS the sorted distinct
+    64-bit shingle hashes, computed in the same numpy pass (the shingle
+    hash vector is the signature's input; emitting it costs nothing).
+
+    Jaccard over the hash sets equals Jaccard over the string shingle
+    sets (blake2b-64 collisions are ~n²·2⁻⁶⁴ — negligible at any
+    realistic per-doc shingle count), so the exact verify can run on
+    these compact int64 arrays without ever touching the text again.
+    Returns NULL for empty text."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    rng = np.random.RandomState(seed)
+    A = (rng.randint(1, _MAX_LONG, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, _MAX_LONG, size=num_hashes).astype(np.uint64)
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_PRIME = np.uint64(1099511628211)
+    out_type = T.StructType(
+        [
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def _bands_sh(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+        out_b, out_s = [], []
+        err = np.seterr(over="ignore")
+        try:
+            for text in texts:
+                shs = _py_shingle_set(text, shingle_n)
+                if not shs:
+                    out_b.append(None)
+                    out_s.append(None)
+                    continue
+                hs = np.fromiter(
+                    (memo.setdefault(s, _hash64(s)) for s in shs),
+                    dtype=np.uint64,
+                    count=len(shs),
+                )
+                sig = (hs[:, None] * A + B).min(axis=0)
+                bh = np.full(bands, FNV_OFF, dtype=np.uint64)
+                for r in range(rows):
+                    bh = (bh ^ sig.reshape(bands, rows)[:, r]) * FNV_PRIME
+                out_b.append(bh.view(np.int64))
+                out_s.append(np.sort(np.unique(hs)).view(np.int64))
+        finally:
+            np.seterr(**err)
+        return pd.DataFrame({"bands": out_b, "sh": out_s})
+
+    return _bands_sh
+
+
 def simhash64_udf():
     """text → 64-bit SimHash fingerprint (long), Arrow-batched numpy.
 
@@ -258,19 +319,39 @@ def minhash_lsh_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 64,
+    carry_shingles: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard ≥ threshold.  Flow: signature (narrow) → explode bands →
-    self-join on (band_idx, band_hash) → distinct candidate pairs →
-    verify on the true shingle sets of just the candidates.
+    jaccard ≥ threshold.
 
     ``max_bucket_size`` drops band buckets above the cap before pair
     generation — a bucket that big means the band is non-discriminative
     for this corpus (the "stop-shingle" effect), and its O(bucket²) pair
     blowup would dominate the job at scale; near-dup pairs in a dropped
-    bucket still collide in the other, more selective bands."""
+    bucket still collide in the other, more selective bands.
+
+    **Two verify strategies** (round-2 perf work — the re-scan verify
+    was 43% of the bench wall for pure stage overhead):
+
+    - ``carry_shingles=True`` (default): the hashed shingle set rides
+      with the id into the bucket groupBy, so the exact Jaccard is an
+      INLINE expression on the emitted pairs — ONE corpus scan, ONE
+      shuffle, zero joins.  Shuffle cost grows by
+      ``bands × |shingle set| × 8B`` per doc (a few KB for typical
+      docs); the text column is never shuffled or re-read.
+    - ``carry_shingles=False``: ship only (band_idx, band_hash, id),
+      then semi-join candidates back to the corpus and verify on
+      recomputed shingle sets.  Minimum shuffle volume, but a second
+      full scan of the text column + two joins — prefer it only when
+      per-doc shingle sets are huge (very long documents) relative to
+      the candidate count."""
+    if carry_shingles:
+        return _minhash_pairs_carry(
+            docs, id_col, text_col, shingle_n, num_hashes, bands,
+            jaccard_threshold, max_bucket_size,
+        )
     band_udf = minhash_band_hashes_udf(shingle_n, num_hashes, bands)
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     banded = base.select(
@@ -322,6 +403,60 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def _minhash_pairs_carry(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Carry-shingles MinHash LSH: one scan, one shuffle, inline verify.
+
+    The hashed shingle set (sorted int64) rides into the bucket groupBy
+    next to the doc id — exactly the pattern :func:`simhash_pairs` uses
+    for its 8-byte fingerprint, generalized to the set.  Pair
+    generation AND exact-Jaccard verification happen in place on the
+    aggregated bucket; ``|union| = |a| + |b| - |intersect|`` saves the
+    second array traversal.  The threshold filter runs BEFORE the
+    distinct so the final exchange only carries true near-dup pairs."""
+    from pyspark.sql import Window
+
+    udf = minhash_bands_shingles_udf(shingle_n, num_hashes, bands)
+    base = docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s")).where(
+        F.col("s").isNotNull() & F.col("s.bands").isNotNull()
+    )
+    banded = base.select(
+        "id",
+        F.col("s.sh").alias("sh"),
+        F.posexplode("s.bands").alias("band_idx", "band_hash"),
+    )
+    cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
+    bucket_w = Window.partitionBy("band_idx", "band_hash")
+    buckets = (
+        banded.withColumn("_bs", F.count(F.lit(1)).over(bucket_w))
+        .where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sh"))).alias("members"))
+    )
+    inter = F.size(F.array_intersect(F.col("p.id_a.sh"), F.col("p.id_b.sh")))
+    union = (
+        F.size(F.col("p.id_a.sh")) + F.size(F.col("p.id_b.sh")) - inter
+    )
+    return (
+        buckets.select(F.explode(_pair_combinations(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

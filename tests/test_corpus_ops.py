@@ -367,3 +367,30 @@ class TestTemporalJoins:
             for r in range_join(ivals, pts, ["user"], "s", "e", "ts", 3600).collect()
         )
         assert got == [10, 11, 12]  # inclusive both ends, key-scoped
+
+
+class TestMinhashVerifyStrategies:
+    def test_carry_and_rescan_paths_agree(self, spark):
+        """The inline carry-shingles verify and the semi-join re-scan
+        verify are the same operator with different shuffle trades —
+        identical pairs AND identical exact-jaccard values."""
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta iota"),
+                (3, "totally different words here about nothing else"),
+                (4, "alpha beta gamma delta epsilon zeta eta theta"),
+            ],
+            "doc_id long, text string",
+        )
+        kw = dict(shingle_n=2, num_hashes=32, bands=16, jaccard_threshold=0.2)
+        carry = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs(docs, carry_shingles=True, **kw).collect()
+        }
+        rescan = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.minhash_lsh_pairs(docs, carry_shingles=False, **kw).collect()
+        }
+        assert carry == rescan
+        assert (1, 4) in carry and carry[(1, 4)] == 1.0
