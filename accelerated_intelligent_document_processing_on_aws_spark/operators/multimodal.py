@@ -9,10 +9,12 @@ model is an opaque ``binary`` column plus a metadata struct
 
 The Spark-side plumbing here is REAL and tested: schemas, batch
 iteration, partitioning, and deterministic fake feature extraction.
-The actual media decode is STUBBED — the image/audio codecs are not in
-this container — behind ``decode_image`` raising ``NotImplementedError``
-unless a decoder callback is injected.  Swapping in PIL/ffmpeg on a real
-cluster changes one function, not the plan.
+Image decode is REAL for uncompressed formats — PPM/PGM/BMP parse,
+aspect-preserving downscale, Otsu binarization, all pure numpy in
+``kernel/image.py`` (round-3; closes the round-2 "decode stub" gap).
+Compressed formats (PNG/JPEG) and audio/video codecs are not in this
+container and stay behind the injectable-decoder seam: swapping in
+PIL/ffmpeg on a real cluster changes one function, not the plan.
 """
 
 from __future__ import annotations
@@ -73,11 +75,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder injection point.  No codec libs in this container."""
-    raise NotImplementedError(
-        "image decoding requires a codec library (e.g. PIL) not present "
-        "in this environment; inject a decoder into extract_features()"
-    )
+    """Default image decoder: pure-numpy PPM/PGM/BMP parse
+    (``kernel/image.py``).  Compressed formats still raise
+    ``NotImplementedError`` — inject a PIL-backed decoder into
+    :func:`extract_features` / :func:`image_stats` for those."""
+    from ..kernel.image import decode_image_bytes
+
+    return decode_image_bytes(payload)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -123,6 +127,101 @@ def extract_features(
 
     cols = media.select("media_id", "modality", "payload")
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synth_pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale P5 payloads from an id column: image
+    ``(16 + id%16) × (12 + id%8)``, pixel(r,c) = ``(id·31 + 7r + 13c)
+    mod 256``.  Real bytes through the real decoder, with stats a SQL
+    oracle can recompute analytically — the driver-checkable input for
+    the image decode path."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel.image import encode_pgm
+
+    @pandas_udf(T.BinaryType())
+    def _mk(id_s: pd.Series) -> pd.Series:
+        out = []
+        for i in id_s:
+            i = int(i)
+            w, h = 16 + i % 16, 12 + i % 8
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            out.append(encode_pgm(((i * 31 + 7 * r + 13 * c) % 256).astype(np.uint8)))
+        return pd.Series(out)
+
+    return ids.select(
+        F.col(id_col).cast("long").alias("media_id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+        T.StructField("otsu_t", T.IntegerType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+    ]
+)
+
+
+def image_stats(
+    media: DataFrame,
+    max_side: int = 512,
+    decoder: Callable[[bytes], object] | None = None,
+) -> DataFrame:
+    """Decode → grayscale → Otsu binarize → aspect-preserving downscale,
+    reporting per-image stats — the Spark form of the reference's image
+    preprocessing step (``image/__init__.py:14-174``: resize never
+    upscales; binarization separates ink from paper).
+
+    The default decoder handles uncompressed PPM/PGM/BMP in pure numpy;
+    pass ``decoder`` for compressed formats.  Runs as ``mapInPandas`` so
+    each Arrow batch decodes in one Python round-trip; undecodable
+    payloads raise (corrupt input must fail the task loudly, matching
+    the engine's no-silent-drop policy)."""
+    from ..kernel import image as img
+
+    use = decoder or img.decode_image_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.asarray(use(payload))
+                gray = img.to_grayscale(arr)
+                h, w = gray.shape
+                t = img.otsu_threshold(gray)
+                ink = float((gray <= t).mean())
+                small = img.resize_max_side(gray, max_side)
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        float(gray.mean()),
+                        t,
+                        ink,
+                        small.shape[1],
+                        small.shape[0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_STATS_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -868,6 +868,41 @@ def multimodal_features_docs(spark, sf_dir):
 
 
 @q(
+    "image_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS width,
+             CAST(12 + doc_id % 8 AS INT) AS height
+      FROM documents
+    ), g AS (
+      SELECT r.g AS r, c.g AS c
+      FROM generate_series(0, 19) r(g), generate_series(0, 31) c(g)
+    )
+    SELECT d.doc_id AS media_id, d.width, d.height,
+           ROUND(AVG(CAST((d.doc_id*31 + g.r*7 + g.c*13) % 256 AS DOUBLE)), 4)
+             AS mean_gray
+    FROM dims d JOIN g ON g.r < d.height AND g.c < d.width
+    GROUP BY 1, 2, 3
+    """,
+)
+def image_decode_stats(spark, sf_dir):
+    """REAL image decode (round-3): deterministic P5/PGM payloads built
+    from doc ids run through the pure-numpy decoder + grayscale stats
+    kernel (``kernel/image.py``, mirroring the reference's image
+    preprocessing ``image/__init__.py:14-174``); the oracle recomputes
+    width/height/mean analytically from the pixel formula.  Otsu
+    binarization and the never-upscale resize are covered by the pytest
+    suite (not SQL-expressible)."""
+    media = multimodal.synth_pgm_media(_t(spark, sf_dir, "documents"))
+    return multimodal.image_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_gray", 4).alias("mean_gray"),
+    )
+
+
+@q(
     "excel_sheet_pages",
     """
     WITH rows AS (

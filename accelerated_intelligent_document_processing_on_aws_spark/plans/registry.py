@@ -22,6 +22,8 @@ from . import analytics, corpus_queries, parity_queries, pipeline_queries
 FRONT = [
     # flagship: BIO gaps-and-islands segmentation (round-1 ask #1)
     "sections_bio_events",
+    # round-3 additions
+    "image_decode_stats",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
