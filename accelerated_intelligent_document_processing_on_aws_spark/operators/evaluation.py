@@ -77,12 +77,56 @@ def compare_fuzzy(a: Column, b: Column, threshold: float | Column = DEFAULT_FUZZ
     return fuzzy_score(a, b) >= _thr(threshold)
 
 
+def hashed_ngram_embedding(col: Column, n: int = 3, dim: int = 16) -> Column:
+    """Deterministic hashed char-ngram count embedding (round-3 upgrade
+    from the fuzzy surrogate — SURVEY's suggested mapping for the
+    reference's Bedrock embedding step, ``comparator.py:422-492``).
+
+    Normalized text → char n-grams → md5-bucketed counts over ``dim``
+    dimensions.  Pure Catalyst, and md5 is the one cross-engine digest,
+    so any SQL engine reproduces the exact vector — the semantic score
+    is auditable from the row alone, like the sampling hashes.
+    O(len·dim) comparisons per value: sized for attribute VALUES
+    (short strings), not documents."""
+    s = norm_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    buckets = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % dim,
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.size(F.filter(buckets, lambda b: b == d.cast("long"))).cast(
+            "double"
+        ),
+    )
+
+
+def semantic_score(a: Column, b: Column, n: int = 3, dim: int = 16) -> Column:
+    """Cosine over hashed char-ngram embeddings, with the comparator
+    edge contract: both-empty → 1.0, one-empty → 0.0."""
+    from ..functions.vectors import cosine_sim
+
+    na = F.coalesce(norm_text(a), F.lit(""))
+    nb = F.coalesce(norm_text(b), F.lit(""))
+    return (
+        F.when(_both_empty(a, b), F.lit(1.0))
+        .when((F.length(na) == 0) | (F.length(nb) == 0), F.lit(0.0))
+        .otherwise(
+            cosine_sim(hashed_ngram_embedding(a, n, dim), hashed_ngram_embedding(b, n, dim))
+        )
+    )
+
+
 def compare_semantic(a: Column, b: Column, threshold: float | Column = 0.8) -> Column:
-    """Deterministic surrogate for the reference's embedding comparator
-    (``comparator.py:422-492``): the reference embeds via Bedrock and
-    thresholds cosine; our deterministic engine uses fuzzy similarity
-    as the stand-in scorer with the same thresholding contract."""
-    return fuzzy_score(a, b) >= _thr(threshold)
+    """The reference's embedding comparator (``comparator.py:422-492``):
+    embed both values, threshold the cosine.  The reference embeds via
+    Bedrock; this engine embeds via the deterministic hashed char-ngram
+    vector (:func:`hashed_ngram_embedding`) — same structure (embed →
+    cosine ≥ threshold), reproducible in any engine.  Swapping a model
+    embedding in changes the vector source, not the contract."""
+    return semantic_score(a, b) >= _thr(threshold)
 
 
 def compare_values(a: Column, b: Column, method: Column,

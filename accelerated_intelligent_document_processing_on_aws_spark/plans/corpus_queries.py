@@ -87,6 +87,62 @@ def compare_numeric_currency(spark, sf_dir):
     )
 
 
+_EMB_SQL = (
+    "list_transform(range(0, 16), d -> CAST(len(list_filter("
+    "list_transform(range(1, greatest(len({s}) - 2, 1) + 1), "
+    "i -> CAST('0x' || substr(md5(substr({s}, CAST(i AS INT), 3)), 1, 8) AS BIGINT) % 16), "
+    "b -> b = d)) AS DOUBLE))"
+)
+
+
+@q(
+    "semantic_cosine_eval",
+    f"""
+    WITH pairs AS (
+      SELECT p_partkey,
+             {_NORM_SQL.format(x="p_name")} AS sa,
+             CASE WHEN p_partkey % 5 = 0 THEN ''
+                  ELSE {_NORM_SQL.format(x="p_type")} END AS sb
+      FROM part WHERE p_partkey % 4 = 0
+    ), emb AS (
+      SELECT p_partkey, sa, sb,
+             {_EMB_SQL.format(s="sa")} AS va,
+             {_EMB_SQL.format(s="sb")} AS vb
+      FROM pairs
+    )
+    SELECT p_partkey,
+           ROUND(CASE
+             WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0
+             ELSE list_sum(list_transform(range(1, 17),
+                    j -> va[CAST(j AS INT)] * vb[CAST(j AS INT)]))
+                  / (sqrt(list_sum(list_transform(va, x -> x*x)))
+                     * sqrt(list_sum(list_transform(vb, x -> x*x))))
+           END, 6) AS score,
+           (CASE
+             WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0
+             ELSE list_sum(list_transform(range(1, 17),
+                    j -> va[CAST(j AS INT)] * vb[CAST(j AS INT)]))
+                  / (sqrt(list_sum(list_transform(va, x -> x*x)))
+                     * sqrt(list_sum(list_transform(vb, x -> x*x))))
+           END >= 0.5) AS is_match
+    FROM emb
+    """,
+)
+def semantic_cosine_eval(spark, sf_dir):
+    """compare_semantic upgraded to the surveyed design (round 3): a
+    deterministic hashed char-ngram embedding + cosine threshold,
+    mirroring the reference's embed-then-cosine comparator
+    (``evaluation/comparator.py:422-492``) with md5 as the cross-engine
+    hash so the oracle recomputes the exact vectors in SQL."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
+    b = F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(F.col("p_type"))
+    return p.select(
+        "p_partkey",
+        F.round(ev.semantic_score(F.col("p_name"), b), 6).alias("score"),
+        ev.compare_semantic(F.col("p_name"), b, 0.5).alias("is_match"),
+    )
+
+
 @q(
     "fuzzy_levenshtein_pairs",
     f"""

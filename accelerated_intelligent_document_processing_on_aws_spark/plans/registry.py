@@ -24,6 +24,7 @@ FRONT = [
     "sections_bio_events",
     # round-3 additions
     "image_decode_stats",
+    "semantic_cosine_eval",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",

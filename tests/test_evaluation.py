@@ -201,3 +201,51 @@ class TestJudgeCascade:
         assert got[3]["match"] and "fuzzy similarity" in got[3]["reason"]
         assert 0.8 <= got[3]["score"] < 1.0
         assert not got[4]["match"] and got[4]["reason"] == "below similarity threshold"
+
+
+class TestSemanticEmbedding:
+    """Round-3: compare_semantic upgraded from fuzzy surrogate to
+    hashed char-ngram embedding + cosine (comparator.py:422-492)."""
+
+    def test_scores_and_edges(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            evaluation as ev,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "Total Amount Due", "total amount due!"),  # normalize-equal
+                (2, "hello world", "hello wxrld"),             # near
+                (3, "zebra stripes", "quarterly revenue"),     # far
+                (4, "", ""),                                   # both empty
+                (5, "something", ""),                          # one empty
+            ],
+            "id int, a string, b string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                F.round(ev.semantic_score(F.col("a"), F.col("b")), 6).alias("s"),
+                ev.compare_semantic(F.col("a"), F.col("b"), 0.8).alias("m"),
+            ).collect()
+        }
+        assert rows[1]["s"] == 1.0 and rows[1]["m"]
+        assert 0.5 < rows[2]["s"] < 1.0
+        # dim=16 bucket collisions put unrelated short strings around
+        # 0.5-0.6 — what matters is the ordering and the 0.8 verdict
+        assert rows[3]["s"] < rows[2]["s"] and not rows[3]["m"]
+        assert rows[4]["s"] == 1.0 and rows[4]["m"]
+        assert rows[5]["s"] == 0.0 and not rows[5]["m"]
+
+    def test_embedding_deterministic_and_counts(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluation import (
+            hashed_ngram_embedding,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("abcd",)], "s string")
+        vec = df.select(hashed_ngram_embedding(F.col("s"), n=3, dim=16).alias("v")).first()["v"]
+        assert len(vec) == 16
+        assert sum(vec) == 2.0  # 'abc', 'bcd' — one count each
