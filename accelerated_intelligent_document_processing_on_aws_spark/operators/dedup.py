@@ -502,6 +502,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int | None = 4096,
+    overflow: str = "join",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: two fingerprints within hamming
     ``k`` of each other agree exactly on at least one of ``k + 1``
@@ -514,7 +515,23 @@ def simhash_pairs(
     ``max_hamming=16``).  Small thresholds keep chunks wide and buckets
     selective — at 64 bits, ``max_hamming`` ≤ 7 keeps chunks ≥ 8 bits;
     beyond that the banding degrades toward all-pairs and a warning is
-    the caller's cue to rethink the threshold."""
+    the caller's cue to rethink the threshold.
+
+    ``overflow`` decides what happens to buckets ABOVE
+    ``max_bucket_size`` (round-3; round 2 always dropped them, trading
+    the pigeonhole guarantee for memory safety):
+
+    - ``'join'`` (default): over-cap buckets route through a self-join
+      on (chunk_idx, chunk) — no aggregation buffer ever holds the
+      bucket, and AQE's skew-join splits the hot partitions, so memory
+      stays bounded WITHOUT losing the recall guarantee.  The O(n²)
+      candidate volume of a truly degenerate bucket is inherent to the
+      semantics (those pairs exist); run exact dedup first if
+      byte-identical floods are expected.
+    - ``'drop'``: the round-2 behavior — over-cap buckets vanish; pairs
+      that agree on another, selective chunk still surface."""
+    if overflow not in ("join", "drop"):
+        raise ValueError("overflow must be 'join' or 'drop'")
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
     n_chunks = max_hamming + 1
@@ -555,17 +572,15 @@ def simhash_pairs(
     # the 8-byte fingerprint rides along into the bucket groupBy, so the
     # hamming verify is an inline expression — no join back to the corpus.
     # The window cap (same partitioning, no extra exchange) bounds the
-    # aggregation buffer: a dropped over-cap bucket means one hot chunk
-    # value — NOTE this trades the pigeonhole guarantee for memory safety
-    # on degenerate buckets; pairs that agree on another, selective chunk
-    # still surface.  Raise max_bucket_size (or None) to keep full recall.
+    # aggregation buffer; what happens ABOVE the cap is the `overflow`
+    # policy (join = full pigeonhole recall, drop = round-2 behavior).
     from pyspark.sql import Window
 
     cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
     chunk_w = Window.partitionBy("chunk_idx", "chunk")
+    sized = chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w))
     buckets = (
-        chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w))
-        .where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
+        sized.where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
         .groupBy("chunk_idx", "chunk")
         .agg(F.array_sort(F.collect_list(F.struct("id", "fp"))).alias("members"))
     )
@@ -578,10 +593,23 @@ def simhash_pairs(
                 "hamming"
             ),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return pairs
+    if overflow == "join" and max_bucket_size is not None:
+        # over-cap buckets: shuffle self-join — no per-group buffer, and
+        # AQE skew-join splits the hot (chunk_idx, chunk) partitions
+        over = sized.where(F.col("_bs") > cap).select("chunk_idx", "chunk", "id", "fp")
+        over_pairs = (
+            over.alias("a")
+            .join(over.alias("b"), ["chunk_idx", "chunk"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(over_pairs)
+    return pairs.where(F.col("hamming") <= max_hamming).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,7 @@ def asof_join(
     by: list[str],
     value_cols: list[str],
     direction: str = "backward",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the most recent right row
     with ``right.on <= left.on`` (backward, inclusive) sharing ``by``.
@@ -37,7 +38,18 @@ def asof_join(
     "the latest row" is ill-defined among exact duplicates.  Returns all
     left columns plus ``value_cols`` from the matched right row (null
     when nothing precedes).  ``direction='forward'`` matches the
-    earliest right row at-or-after instead."""
+    earliest right row at-or-after instead.
+
+    ``chunk_seconds=None`` (default): the one-shuffle union-sort-window
+    form — the window partitions only by ``by``, so one hot key (one
+    giant instrument / conversation) serializes into a single task.
+    ``chunk_seconds=k``: the skew-hardened two-pass form — the carry
+    window partitions by (``by``, time-chunk), a per-chunk summary
+    spine (ONE row per chunk) propagates the carry across chunks, and
+    each left row coalesces its in-chunk match with the previous
+    chunks' carry.  A hot key now parallelizes across its time range;
+    the serialized window runs only over the tiny spine.  Costs one
+    extra (small) shuffle + a broadcast-or-shuffle join back."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
@@ -55,29 +67,111 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     u = tagged_l.unionByName(tagged_r)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal time → inclusive match
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.asc(on), F.asc("_is_left"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    backward = direction == "backward"
+    if chunk_seconds is None:
+        if backward:
+            # right rows sort BEFORE left rows at equal time → inclusive
+            w = (
+                Window.partitionBy(*by)
+                .orderBy(F.asc(on), F.asc("_is_left"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            w = (
+                Window.partitionBy(*by)
+                .orderBy(F.desc(on), F.asc("_is_left"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        carried = u.select(
+            *lcols,
+            "_is_left",
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+                for c in value_cols
+            ],
         )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.desc(on), F.asc("_is_left"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return carried.where(F.col("_is_left") == 1).select(
+            *lcols, *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols]
         )
-    carried = u.select(
+    return _asof_join_chunked(
+        u, on, by, value_cols, lcols, backward, chunk_seconds
+    )
+
+
+def _asof_join_chunked(
+    u: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    lcols: list[str],
+    backward: bool,
+    chunk_seconds: int,
+) -> DataFrame:
+    """Two-pass segmented-scan as-of: in-chunk carry in parallel, then
+    cross-chunk carry over a one-row-per-chunk spine."""
+    # chunk ids flip sign for forward so "preceding chunks" is always
+    # ascending _chunk order
+    raw_chunk = F.floor(F.unix_timestamp(F.col(on)) / F.lit(chunk_seconds))
+    u = u.withColumn("_chunk", raw_chunk if backward else -raw_chunk)
+    time_order = (
+        [F.asc(on), F.asc("_is_left")] if backward else [F.desc(on), F.asc("_is_left")]
+    )
+    w1 = (
+        Window.partitionBy(*by, "_chunk")
+        .orderBy(*time_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_chunk = u.select(
         *lcols,
         "_is_left",
+        "_chunk",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            F.last(f"_r_{c}", ignorenulls=True).over(w1).alias(f"_m_{c}")
             for c in value_cols
         ],
+        *[F.col(f"_r_{c}") for c in value_cols],
     )
-    return carried.where(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols]
+    # spine: per (by, chunk) the LAST right value in chunk order —
+    # max(struct(on, ...)) picks it without a second sort (backward);
+    # forward uses min(struct) = the earliest
+    pick = F.max if backward else F.min
+    chunk_last = (
+        in_chunk.where(F.col("_is_left") == 0)
+        .groupBy(*by, "_chunk")
+        .agg(
+            pick(
+                F.struct(F.col(on), *[F.col(f"_r_{c}").alias(f"_r_{c}") for c in value_cols])
+            ).alias("_pick")
+        )
+        .select(*by, "_chunk", *[F.col(f"_pick._r_{c}").alias(f"_cl_{c}") for c in value_cols])
+    )
+    # full chunk spine (left chunks with no right rows still need carry)
+    spine = in_chunk.select(*by, "_chunk").distinct()
+    w_spine = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("_chunk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_prev = (
+        spine.join(chunk_last, by + ["_chunk"], "left")
+        .select(
+            *by,
+            "_chunk",
+            *[
+                F.last(f"_cl_{c}", ignorenulls=True).over(w_spine).alias(f"_cp_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    joined = in_chunk.where(F.col("_is_left") == 1).join(
+        carry_prev, by + ["_chunk"], "left"
+    )
+    return joined.select(
+        *lcols,
+        *[
+            F.coalesce(F.col(f"_m_{c}"), F.col(f"_cp_{c}")).alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
 
 

@@ -394,3 +394,94 @@ class TestMinhashVerifyStrategies:
         }
         assert carry == rescan
         assert (1, 4) in carry and carry[(1, 4)] == 1.0
+
+
+class TestAsofChunked:
+    """Skew-hardened two-pass as-of join: results must equal the
+    one-pass form for any chunk size, both directions."""
+
+    def _mk(self, spark, seed=7):
+        import random
+        from datetime import datetime, timezone
+
+        rng = random.Random(seed)
+
+        def ts(s):
+            return datetime(2026, 1, 1, tzinfo=timezone.utc).replace(
+                hour=s // 3600 % 24, minute=s // 60 % 60, second=s % 60
+            )
+
+        lrows = [
+            (u, ts(rng.randrange(0, 40000)), i)
+            for i, u in enumerate(["hot"] * 60 + ["a", "b"] * 10)
+        ]
+        rrows = []
+        seen = set()
+        for u in ("hot", "a", "b"):
+            for _ in range(25 if u == "hot" else 4):
+                s = rng.randrange(0, 40000)
+                if (u, s) in seen:
+                    continue
+                seen.add((u, s))
+                rrows.append((u, ts(s), float(s)))
+        left = spark.createDataFrame(lrows, "user string, ts timestamp, row_id int")
+        right = spark.createDataFrame(rrows, "user string, ts timestamp, px double")
+        return left, right
+
+    def test_chunked_equals_onepass_backward(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            asof_join,
+        )
+
+        left, right = self._mk(spark)
+        want = {
+            r["row_id"]: r["asof_px"]
+            for r in asof_join(left, right, "ts", ["user"], ["px"]).collect()
+        }
+        for chunk in (60, 600, 7200, 100000):
+            got = {
+                r["row_id"]: r["asof_px"]
+                for r in asof_join(
+                    left, right, "ts", ["user"], ["px"], chunk_seconds=chunk
+                ).collect()
+            }
+            assert got == want, f"chunk_seconds={chunk}"
+
+    def test_chunked_equals_onepass_forward(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            asof_join,
+        )
+
+        left, right = self._mk(spark, seed=11)
+        want = {
+            r["row_id"]: r["asof_px"]
+            for r in asof_join(
+                left, right, "ts", ["user"], ["px"], direction="forward"
+            ).collect()
+        }
+        got = {
+            r["row_id"]: r["asof_px"]
+            for r in asof_join(
+                left, right, "ts", ["user"], ["px"],
+                direction="forward", chunk_seconds=600,
+            ).collect()
+        }
+        assert got == want
+
+
+class TestSimhashOverflow:
+    def test_overcap_bucket_pairs_survive_with_join_overflow(self, spark):
+        """Round-3: a bucket above max_bucket_size must still yield its
+        pairs via the self-join overflow path (full pigeonhole recall);
+        overflow='drop' reproduces the round-2 lossy behavior."""
+        # 8 identical docs: every chunk bucket has size 8
+        docs = spark.createDataFrame(
+            [(i, "same exact tokens all the way down " * 3) for i in range(8)],
+            "doc_id int, text string",
+        )
+        full = dedup.simhash_pairs(docs, max_hamming=3, max_bucket_size=4)
+        assert full.count() == 8 * 7 // 2  # all pairs, hamming 0
+        dropped = dedup.simhash_pairs(
+            docs, max_hamming=3, max_bucket_size=4, overflow="drop"
+        )
+        assert dropped.count() == 0
