@@ -68,6 +68,9 @@ STATE_SCHEMA = T.StructType(
         T.StructField("last_turn", T.IntegerType()),
         T.StructField("pending_json", T.StringType()),
         T.StructField("n_dups", T.IntegerType()),
+        # max event-time (epoch ms) seen for the conversation — drives
+        # the event-time flush timeout (0 in processing-time mode)
+        T.StructField("max_ts_ms", T.LongType()),
     ]
 )
 
@@ -75,7 +78,9 @@ MAX_PENDING_DEFAULT = 100_000
 
 
 def _make_segment_group(
-    flush_timeout_ms: int | None = None, max_pending: int = MAX_PENDING_DEFAULT
+    flush_timeout_ms: int | None = None,
+    max_pending: int = MAX_PENDING_DEFAULT,
+    event_time: bool = False,
 ):
     """Build the applyInPandasWithState function.
 
@@ -84,6 +89,13 @@ def _make_segment_group(
     any gaps — each flushed row marked ``gap_flushed=true`` so a
     downstream sink can quarantine it (the alternative is holding the
     buffer forever when an upstream truly lost a turn).
+
+    ``event_time``: interpret ``flush_timeout_ms`` against EVENT time —
+    the flush fires when the stream's watermark passes the
+    conversation's max observed ``ts`` plus the timeout, so the decision
+    is reproducible from the data alone (round-2 advice: the
+    processing-time flush depended on wall clock).  Requires a ``ts``
+    column and an upstream watermark.
 
     ``max_pending``: reorder-buffer ceiling, checked AFTER the
     contiguous frontier drains (a gap leaves the buffer non-drainable;
@@ -96,17 +108,22 @@ def _make_segment_group(
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
         if state.exists:
-            last_class, last_section, last_turn, pending_json, n_dups = state.get
+            (last_class, last_section, last_turn, pending_json, n_dups,
+             max_ts_ms) = state.get
             pending: dict[int, tuple] = {
                 int(k): tuple(v) for k, v in json.loads(pending_json).items()
             }
         else:
             last_class, last_section, last_turn = None, 0, -1
-            pending, n_dups = {}, 0
+            pending, n_dups, max_ts_ms = {}, 0, 0
 
         timed_out = bool(getattr(state, "hasTimedOut", False))
         if not timed_out:
             for pdf in pdfs:
+                if event_time and "ts" in pdf.columns and len(pdf):
+                    batch_max = pdf["ts"].max()
+                    if batch_max is not None and batch_max == batch_max:  # not NaT
+                        max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
                 for turn_idx, cls, boundary in zip(
                     pdf["turn_idx"], pdf["classification"], pdf["boundary"]
                 ):
@@ -163,10 +180,17 @@ def _make_segment_group(
                 last_turn,
                 json.dumps({str(k): list(v) for k, v in pending.items()}),
                 n_dups,
+                max_ts_ms,
             )
         )
         if flush_timeout_ms is not None and not timed_out:
-            state.setTimeoutDuration(flush_timeout_ms)
+            if event_time:
+                # fires when the WATERMARK (event time) passes the
+                # conversation's last activity + timeout — deterministic
+                # given the data, independent of wall clock
+                state.setTimeoutTimestamp(max_ts_ms + flush_timeout_ms)
+            else:
+                state.setTimeoutDuration(flush_timeout_ms)
         yield pd.DataFrame(
             [(c, t, cl, s, len(pending), n_dups, g) for c, t, cl, s, g in out_rows],
             columns=[f.name for f in OUTPUT_SCHEMA.fields],
@@ -183,24 +207,46 @@ def streaming_sections(
     extracted_stream: DataFrame,
     flush_timeout_ms: int | None = None,
     max_pending: int = MAX_PENDING_DEFAULT,
+    flush_mode: str = "processing",
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Per-turn section ids over a streaming extracted DataFrame
-    (needs conv_id, turn_idx, classification, boundary).
+    (needs conv_id, turn_idx, classification, boundary; plus ``ts``
+    for event-time flushing).
 
     With ``flush_timeout_ms`` set, idle conversations flush their
     reorder buffer across gaps (rows marked ``gap_flushed``) instead of
-    holding it forever.  ``max_pending`` bounds the reorder buffer
-    (checked after the contiguous frontier drains)."""
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if flush_timeout_ms is not None
-        else GroupStateTimeout.NoTimeout
-    )
+    holding it forever.  ``flush_mode``:
+
+    - ``'processing'``: wall-clock idle timeout (round-2 behavior).
+    - ``'event'``: the flush fires when the stream's WATERMARK passes
+      the conversation's max event time + ``flush_timeout_ms`` — late
+      data is governed by ``withWatermark(ts, watermark_delay)`` and
+      the flush point is reproducible from the data alone (a replay of
+      the same shards flushes at the same place, which a wall-clock
+      timeout cannot promise).
+
+    ``max_pending`` bounds the reorder buffer (checked after the
+    contiguous frontier drains)."""
+    if flush_mode not in ("processing", "event"):
+        raise ValueError("flush_mode must be 'processing' or 'event'")
+    event = flush_mode == "event" and flush_timeout_ms is not None
+    if flush_timeout_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
+    cols = ["conv_id", "turn_idx", "classification", "boundary"]
+    src = extracted_stream
+    if event:
+        src = src.withWatermark("ts", watermark_delay)
+        cols.append("ts")
     return (
-        extracted_stream.select("conv_id", "turn_idx", "classification", "boundary")
+        src.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_segment_group(flush_timeout_ms, max_pending),
+            _make_segment_group(flush_timeout_ms, max_pending, event_time=event),
             OUTPUT_SCHEMA,
             STATE_SCHEMA,
             "append",

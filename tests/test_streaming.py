@@ -326,3 +326,79 @@ class TestMaxPendingGuard:
         turns = [(i, "a", "continue") for i in range(1, 9)]  # 8 pending <= 10
         out = _run_group(fn, turns, _FakeState())
         assert len(out) == 0  # waiting on turn 0
+
+
+class TestEventTimeFlush:
+    def test_watermark_driven_gap_flush(self, spark, tmp_path):
+        """flush_mode='event': a gapped conversation's reorder buffer
+        flushes when the WATERMARK passes its last event time + timeout
+        — driven by the data's timestamps, not wall clock."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+            streaming_sections,
+        )
+
+        def ts(minute, second=0):
+            return datetime(2026, 1, 1, 10, minute, second, tzinfo=timezone.utc)
+
+        schema = pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+             ("classification", pa.string()), ("boundary", pa.string()),
+             ("ts", pa.timestamp("us", tz="UTC"))]
+        )
+        shard_dir = tmp_path / "eshards"
+        shard_dir.mkdir()
+
+        def write(name, rows, mtime):
+            path = str(shard_dir / name)
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {k: [r[i] for r in rows] for i, k in enumerate(schema.names)},
+                    schema=schema,
+                ),
+                path,
+            )
+            os.utime(path, (mtime, mtime))
+
+        # batch 0: c1 turns 2,3 (turns 0,1 MISSING) at 10:00
+        write("s0.parquet",
+              [("c1", 2, "a", "continue", ts(0)), ("c1", 3, "b", "continue", ts(0))],
+              1_700_000_000)
+        # batch 1: watermark mover at 10:05 → wm = 10:04:50 (10s delay),
+        # past c1's 10:00 + 60s timeout
+        write("s1.parquet", [("wm", 0, "x", "continue", ts(5))], 1_700_000_060)
+        # batch 2: another mover so the fired timeout is processed
+        write("s2.parquet", [("wm", 1, "x", "continue", ts(6))], 1_700_000_120)
+
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, classification string, "
+                "boundary string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shard_dir))
+        )
+        out_dir = str(tmp_path / "eout")
+        q = (
+            streaming_sections(
+                stream, flush_timeout_ms=60_000, flush_mode="event",
+                watermark_delay="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "eckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.read.parquet(out_dir).collect()
+        c1 = {r["turn_idx"]: r for r in rows if r["conv_id"] == "c1"}
+        assert set(c1) == {2, 3}, "buffered turns must flush once wm passes"
+        assert all(r["gap_flushed"] for r in c1.values())
+        assert c1[2]["section_id"] == 1 and c1[3]["section_id"] == 2
+        wm = {r["turn_idx"]: r for r in rows if r["conv_id"] == "wm"}
+        assert not any(r["gap_flushed"] for r in wm.values())
