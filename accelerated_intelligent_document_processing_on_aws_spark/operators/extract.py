@@ -261,3 +261,22 @@ def alerts_with_thresholds(
             thr.alias("confidence_threshold"),
         )
     )
+
+
+def payload_kind_udf():
+    """Standalone file-type sniff as an Arrow-batched UDF — the magic-
+    prefix + parse-validation dispatch of ``ocr/service.py:1677-1723``
+    (extension + magic bytes → {pdf,txt,csv,...}), restated for the
+    transcript payload kinds {html, layout, plain}.  The extraction
+    kernel runs the same function inline (``kernel/oracle.py``,
+    ``sniff_payload_kind``); this exposes it for payload routing
+    outside the kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel.oracle import sniff_payload_kind
+
+    @pandas_udf(T.StringType())
+    def _sniff(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: sniff_payload_kind(t or ""))
+
+    return _sniff

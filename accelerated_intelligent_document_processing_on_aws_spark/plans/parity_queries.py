@@ -397,9 +397,9 @@ _EVAL_CONFIG = [
 ]
 
 
-@q(
-    "stickler_config_eval",
-    f"""
+# Shared attr-eval SQL (stickler config compare) — reused by the
+# doc-rollup oracle; `actual` rides along for the fp accounting.
+_STICKLER_SQL_FULL = f"""
     WITH cfg(classification, attribute_name, evaluation_method, threshold, weight) AS (
       VALUES ('1-URGENT','status','EXACT',0.8,1.0),
              ('1-URGENT','totalprice','NUMERIC_EXACT',0.8,2.0),
@@ -439,7 +439,7 @@ _EVAL_CONFIG = [
       FROM joined
     ), final AS (
       SELECT doc_id, classification, attribute_name, evaluation_method,
-             threshold, weight, auto_configured,
+             threshold, weight, auto_configured, actual,
              auto_configured AND (expected IS NULL OR trim(expected) = '')
                AND actual IS NOT NULL AND trim(actual) <> '' AS unexpected,
              CASE evaluation_method
@@ -463,12 +463,13 @@ _EVAL_CONFIG = [
       FROM scored
     )
     SELECT doc_id, classification, attribute_name, evaluation_method,
-           threshold, weight, auto_configured, unexpected, matched,
+           threshold, weight, auto_configured, actual, unexpected, matched,
            COALESCE(fuzzy, CASE WHEN matched THEN 1.0 ELSE 0.0 END) AS score
     FROM final
-    """,
-)
-def stickler_config_eval(spark, sf_dir):
+    """
+
+
+def _stickler_attr_frame(spark, sf_dir):
     """Config-driven structured compare (``evaluation/service.py:363-612``):
     per-class attribute config drives comparator/threshold/weight;
     unconfigured attributes get auto-config defaults; fields present only
@@ -518,8 +519,22 @@ def stickler_config_eval(spark, sf_dir):
         "classification string, attribute_name string, evaluation_method string, "
         "threshold double, weight double",
     )
-    out = configured_attribute_eval(pairs, config)
-    return out.select(
+    return configured_attribute_eval(pairs, config)
+
+
+
+@q(
+    "stickler_config_eval",
+    f"""
+    SELECT doc_id, classification, attribute_name, evaluation_method,
+           threshold, weight, auto_configured, unexpected, matched, score
+    FROM ({_STICKLER_SQL_FULL})
+    """,
+)
+def stickler_config_eval(spark, sf_dir):
+    """Config-driven structured compare (``evaluation/service.py:363-612``)
+    — see :func:`_stickler_attr_frame` for the shared construction."""
+    return _stickler_attr_frame(spark, sf_dir).select(
         "doc_id",
         "classification",
         "attribute_name",
@@ -531,6 +546,188 @@ def stickler_config_eval(spark, sf_dir):
         "matched",
         "score",
     )
+
+
+_ROLLUP_SQL = """
+    , flags AS (
+      SELECT doc_id,
+             CASE WHEN matched THEN 1 ELSE 0 END AS tp,
+             CASE WHEN NOT matched
+                   AND NOT (actual IS NULL OR trim(actual) = '')
+                  THEN 1 ELSE 0 END AS fp,
+             CASE WHEN NOT matched THEN 1 ELSE 0 END AS fn,
+             0 AS tn, score, weight
+      FROM attr
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(tp) AS DOUBLE) AS tp, CAST(SUM(fp) AS DOUBLE) AS fp,
+             CAST(SUM(fn) AS DOUBLE) AS fn, CAST(SUM(tn) AS DOUBLE) AS tn,
+             SUM(score * weight) AS sw, SUM(weight) AS w,
+             COUNT(*) AS n_attributes
+      FROM flags GROUP BY doc_id
+    ), m AS (
+      SELECT *,
+             CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS p,
+             CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS r
+      FROM agg
+    )
+    SELECT doc_id,
+           ROUND(p, 6) AS precision,
+           ROUND(r, 6) AS recall,
+           ROUND(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6) AS f1,
+           ROUND(CASE WHEN tp + fp + fn + tn > 0
+                      THEN (tp + tn) / (tp + fp + fn + tn) ELSE 0.0 END, 6) AS accuracy,
+           ROUND(CASE WHEN fp + tn > 0 THEN fp / (fp + tn) ELSE 0.0 END, 6)
+             AS false_alarm_rate,
+           ROUND(CASE WHEN fp + tp > 0 THEN fp / (fp + tp) ELSE 0.0 END, 6)
+             AS false_discovery_rate,
+           ROUND(CASE WHEN w > 0 THEN sw / w ELSE 0.0 END, 6)
+             AS weighted_overall_score,
+           n_attributes
+    FROM m
+"""
+
+
+@q(
+    "eval_rollup_docs",
+    "WITH attr AS (" + _STICKLER_SQL_FULL + ")" + _ROLLUP_SQL,
+)
+def eval_rollup_docs(spark, sf_dir):
+    """Attribute→document metric rollup (``evaluation/service.py:1564-1902``):
+    the stickler attribute evaluation rolled up per document — tp/fp/fn
+    accounting (unmatched-with-actual = FP+FN, unmatched-missing = FN),
+    P/R/F1/accuracy/FAR/FDR plus the weight-averaged overall score."""
+    from ..operators.evaluation import rollup_metrics
+
+    attr = _stickler_attr_frame(spark, sf_dir)
+    return rollup_metrics(attr, ["doc_id"])
+
+
+_PERTURB_SQL = "CASE WHEN event_id % 7 = 3 THEN 'zzz' ELSE event_type END"
+
+
+@q(
+    "page_classification_accuracy_events",
+    f"""
+    SELECT ROUND(AVG(CASE WHEN {_PERTURB_SQL} = event_type
+                          THEN 1.0 ELSE 0.0 END), 6)
+             AS page_classification_accuracy,
+           COUNT(*) AS n_turns
+    FROM events
+    """,
+)
+def page_classification_accuracy_events(spark, sf_dir):
+    """Per-turn classification accuracy
+    (``evaluation/doc_split_classification_metrics.py:19-34``) between a
+    perturbed prediction and the gold labels."""
+    from ..operators.evaluation import page_classification_accuracy
+
+    gold = _event_turns(spark, sf_dir)
+    pred = gold.withColumn(
+        "classification",
+        F.when(F.col("turn_idx") % 7 == 3, F.lit("zzz")).otherwise(
+            F.col("classification")
+        ),
+    )
+    return page_classification_accuracy(pred, gold)
+
+
+def _split_bio_sql(cls_expr: str) -> str:
+    """Gaps-and-islands sections over events with a parametric class
+    expression, ending in per-conv ordered/unordered section signatures."""
+    return f"""
+      SELECT conv_id,
+             string_agg(sig, '|' ORDER BY section_id) AS ordered_sig,
+             string_agg(sig, '|' ORDER BY sig)        AS unordered_sig
+      FROM (
+        SELECT conv_id, section_id,
+               MIN(cls) || '@' ||
+               string_agg(CAST(turn_idx AS VARCHAR), ',' ORDER BY turn_idx) AS sig
+        FROM (
+          SELECT conv_id, turn_idx, cls,
+                 CAST(SUM(flag) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS section_id
+          FROM (
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(event_id AS INT) AS turn_idx,
+                   {cls_expr} AS cls,
+                   CASE WHEN lag({cls_expr}) OVER
+                          (PARTITION BY user_id ORDER BY event_id) IS NULL
+                        OR lag({cls_expr}) OVER
+                          (PARTITION BY user_id ORDER BY event_id) <> {cls_expr}
+                        THEN 1 ELSE 0 END AS flag
+            FROM events
+          )
+        ) GROUP BY conv_id, section_id
+      ) GROUP BY conv_id
+    """
+
+
+@q(
+    "split_eval_metrics",
+    f"""
+    WITH g AS ({_split_bio_sql("event_type")}),
+         p AS ({_split_bio_sql(_PERTURB_SQL)})
+    SELECT ROUND(AVG(CASE WHEN p.ordered_sig = g.ordered_sig
+                          THEN 1.0 ELSE 0.0 END), 6) AS split_accuracy_with_order,
+           ROUND(AVG(CASE WHEN p.unordered_sig = g.unordered_sig
+                          THEN 1.0 ELSE 0.0 END), 6) AS split_accuracy_without_order,
+           COUNT(*) AS n_conversations
+    FROM g JOIN p USING (conv_id)
+    """,
+)
+def split_eval_metrics(spark, sf_dir):
+    """Doc-split accuracy with/without order
+    (``evaluation/doc_split_classification_metrics.py:19-260``): BIO
+    sections from perturbed vs gold labels, compared as ordered section
+    lists and as unordered section multisets."""
+    from ..operators.evaluation import split_metrics
+
+    gold_turns = _event_turns(spark, sf_dir)
+    pred_turns = gold_turns.withColumn(
+        "classification",
+        F.when(F.col("turn_idx") % 7 == 3, F.lit("zzz")).otherwise(
+            F.col("classification")
+        ),
+    )
+    gold = seg.sections(gold_turns, "llm_determined")
+    pred = seg.sections(pred_turns, "llm_determined")
+    return split_metrics(pred, gold)
+
+
+@q(
+    "payload_kind_sniff",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'html'
+                WHEN 1 THEN 'layout'
+                ELSE 'plain' END AS payload_kind
+    FROM documents
+    """,
+)
+def payload_kind_sniff(spark, sf_dir):
+    """File-type sniffing (``ocr/service.py:1677-1723``): magic-prefix +
+    parse-validation dispatch of the extraction kernel, over constructed
+    payloads — html, a VALID layout JSON, a bracket-but-not-layout
+    string (must fall back to plain), and plain text."""
+    from ..operators.extract import payload_kind_udf
+
+    d = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("<div>"), F.col("text")))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('[{"bbox": [0, 0, 10, 10], "text": "'),
+                F.col("lang"),
+                F.lit('"}]'),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("[not layout "), F.col("lang")))
+        .otherwise(F.concat(F.lit("plain "), F.col("text")))
+    )
+    return d.select("doc_id", payload_kind_udf()(payload).alias("payload_kind"))
 
 
 @q(

@@ -25,6 +25,10 @@ FRONT = [
     # round-3 additions
     "image_decode_stats",
     "semantic_cosine_eval",
+    "eval_rollup_docs",
+    "split_eval_metrics",
+    "page_classification_accuracy_events",
+    "payload_kind_sniff",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
