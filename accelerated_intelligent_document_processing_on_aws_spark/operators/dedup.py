@@ -427,9 +427,11 @@ def _minhash_pairs_carry(
     from pyspark.sql import Window
 
     udf = minhash_bands_shingles_udf(shingle_n, num_hashes, bands)
-    base = docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s")).where(
-        F.col("s").isNotNull() & F.col("s.bands").isNotNull()
-    )
+    base = docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
+    # no isNotNull filter here: a filter on the UDF column makes Catalyst
+    # evaluate the UDF TWICE (once for the predicate, once for the
+    # projection — two ArrowEvalPython nodes in the plan); posexplode of
+    # a NULL bands array already emits no rows, which is the same skip
     banded = base.select(
         "id",
         F.col("s.sh").alias("sh"),

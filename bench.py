@@ -97,7 +97,10 @@ def main() -> None:
     # VM shows ±4× hypervisor steal-noise on multi-second measurements)
     extract_turns(transcripts.limit(20_000), num_partitions=CPUS, salt=16).count()
     extract_sec = float("inf")
-    for _ in range(2):
+    # min-of-3: this VM's host-side slowdowns are invisible to the guest
+    # (/proc/stat steal reads 0 while identical runs spread 13.7-20.2s);
+    # a third sample materially tightens the headline metric
+    for _ in range(3):
         t0 = time.perf_counter()
         extracted = extract_turns(transcripts, num_partitions=CPUS * 3, salt=16)
         out_rows = extracted.count()

@@ -106,18 +106,34 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     add(
-        "MinHash LSH near-dup",
-        "Signatures come from ONE Arrow-batched numpy pass scan-side "
-        "(ArrowEvalPython feeding posexplode, no shuffle); candidate "
-        "pairs come from ONE exchange on (band_idx, band_hash) — a "
-        "window count caps bucket size BEFORE collect_list over the "
-        "same partitioning (degenerate buckets never materialize as one "
-        "aggregation buffer), then in-bucket combinations (no self-join, "
-        "no second plan evaluation); the Jaccard verify semi-joins "
-        "candidate ids before materializing shingles — document text "
-        "never enters a shuffle.",
+        "MinHash LSH near-dup (carry-shingles verify, round 3)",
+        "Bands AND hashed shingle sets come from ONE Arrow-batched numpy "
+        "pass scan-side (ArrowEvalPython feeding posexplode, no "
+        "shuffle); candidate pairs AND the exact-Jaccard verify happen "
+        "in ONE exchange on (band_idx, band_hash) — a window count caps "
+        "bucket size BEFORE collect_list over the same partitioning "
+        "(degenerate buckets never materialize as one aggregation "
+        "buffer), then in-bucket combinations with the Jaccard computed "
+        "INLINE on the carried int64 shingle hashes: one corpus scan "
+        "total, zero joins, document text never enters a shuffle.",
         dedup.minhash_lsh_pairs(docs, shingle_n=2, num_hashes=16, bands=4,
                                 jaccard_threshold=0.5),
+    )
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev_small = tdisk.select("conv_id", "ts", "turn_idx")
+    px_small = tdisk.groupBy("conv_id", "ts").agg(F.count(F.lit(1)).cast("double").alias("px"))
+    add(
+        "As-of join, skew-hardened two-pass (round 3)",
+        "chunk_seconds: the carry window partitions by (conv_id, "
+        "time-chunk) — a hot key's window work spreads across its "
+        "chunks instead of one task; the only per-key-serialized window "
+        "runs over the one-row-per-chunk spine (the tiny aggregate), "
+        "and the carry joins back on (key, chunk).",
+        asof_join(ev_small, px_small, "ts", ["conv_id"], ["px"], chunk_seconds=3600),
     )
 
     from accelerated_intelligent_document_processing_on_aws_spark.operators import (
