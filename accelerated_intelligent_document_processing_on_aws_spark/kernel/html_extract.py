@@ -116,12 +116,13 @@ def _scan_blocks(html: str) -> list[_Block]:
         while stack:
             t, b, d = stack.pop()
             if d:
-                drop_depth = max(0, drop_depth - 1)
+                if drop_depth:
+                    drop_depth -= 1
             else:
-                if b:
-                    boiler_depth = max(0, boiler_depth - 1)
-                if t == "a":
-                    link_depth = max(0, link_depth - 1)
+                if b and boiler_depth:
+                    boiler_depth -= 1
+                if t == "a" and link_depth:
+                    link_depth -= 1
                 if t in _BLOCK_TAGS:
                     cur = None
             if t == tag:
@@ -148,7 +149,23 @@ def _scan_blocks(html: str) -> list[_Block]:
             continue
         tag = name.lower()
         if end_slash:
-            _end(tag)
+            # well-nested fast path: the end tag matches the stack top —
+            # handle inline (one pop) instead of the unwind-call; ~97%
+            # of end tags in real HTML take this branch
+            if stack and stack[-1][0] == tag:
+                t, b, d = stack.pop()
+                if d:
+                    if drop_depth:
+                        drop_depth -= 1
+                else:
+                    if b and boiler_depth:
+                        boiler_depth -= 1
+                    if t == "a" and link_depth:
+                        link_depth -= 1
+                    if t in _BLOCK_TAGS:
+                        cur = None
+            else:
+                _end(tag)
             continue
         drop, boiler, block = tag_info(tag, _NO_INFO)
         if (
@@ -222,8 +239,10 @@ def strip_boilerplate(html: str) -> tuple[str, list[tuple[int, int, str, float]]
 
     kept: list[tuple[str, str, float]] = []  # (text, kind, conf)
     for b in blocks:
+        if b.boiler:  # cheap flag first: skip the whitespace-collapse
+            continue  # regex on blocks that can never be kept
         t = b.text()
-        if not t or b.boiler or len(t) < MIN_BLOCK_CHARS:
+        if not t or len(t) < MIN_BLOCK_CHARS:
             continue
         link_density = b.link_chars / max(len(t), 1)
         text_density = len(t) / max(b.n_elems, 1)

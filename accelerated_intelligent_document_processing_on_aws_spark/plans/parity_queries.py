@@ -314,6 +314,41 @@ def asof_join_events(spark, sf_dir):
 
 
 @q(
+    "asof_join_events_chunked",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_id % 5 = 0
+    ), r AS (
+      SELECT user_id, ts, MAX(event_id) AS r_event
+      FROM events WHERE event_id % 5 <> 0 GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, r.r_event AS asof_r_event
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_events_chunked(spark, sf_dir):
+    """SAME semantics and oracle as asof_join_events, but through the
+    round-3 skew-hardened TWO-PASS path (``chunk_seconds``): the carry
+    window partitions by (user, time-chunk) and a per-chunk spine
+    propagates the carry — driver-level proof that the hot-key-parallel
+    form is exactly equivalent to the one-pass form."""
+    from ..operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_id") % 5 == 0).select("user_id", "event_id", "ts")
+    right = (
+        e.where(F.col("event_id") % 5 != 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event"))
+    )
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], value_cols=["r_event"],
+        chunk_seconds=6 * 3600,
+    )
+    return out.select("user_id", "event_id", F.col("asof_r_event"))
+
+
+@q(
     "range_join_windows",
     """
     WITH i AS (

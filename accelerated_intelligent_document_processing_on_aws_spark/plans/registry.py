@@ -29,6 +29,7 @@ FRONT = [
     "split_eval_metrics",
     "page_classification_accuracy_events",
     "payload_kind_sniff",
+    "asof_join_events_chunked",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
