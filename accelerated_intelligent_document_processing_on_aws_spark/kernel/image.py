@@ -25,17 +25,21 @@ __all__ = [
     "decode_image_bytes",
     "decode_ppm",
     "decode_bmp",
+    "decode_png",
     "encode_pgm",
     "encode_ppm",
+    "encode_png",
     "resize_max_side",
     "to_grayscale",
     "otsu_threshold",
     "binarize",
 ]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_image_format(payload: bytes | None) -> str | None:
-    """'ppm' | 'pgm' | 'bmp' | None from magic bytes."""
+    """'ppm' | 'pgm' | 'bmp' | 'png' | None from magic bytes."""
     if not payload or len(payload) < 2:
         return None
     if payload[:2] == b"P6":
@@ -44,6 +48,8 @@ def sniff_image_format(payload: bytes | None) -> str | None:
         return "pgm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -115,15 +121,110 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[..., ::-1].copy()  # BGR → RGB
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (the common subset) → uint8 array, stdlib ``zlib`` + numpy.
+
+    Supports bit depth 8, color types 0 (gray → (h,w)), 2 (RGB →
+    (h,w,3)) and 6 (RGBA → alpha dropped, (h,w,3)), non-interlaced —
+    i.e. what ``encode_png`` and most document renderers emit.  All five
+    scanline filters are implemented: None/Up are fully vectorized;
+    Sub is a per-channel ``np.add.accumulate`` (mod-256 via uint8
+    overflow); Average and Paeth fall back to a per-pixel loop (rare in
+    practice — encoders prefer 0/2 for synthetic content)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    channels = 0
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, _comp, _filt, interlace = data[8:13]
+            if depth != 8:
+                raise ValueError(f"PNG bit depth {depth} not supported (only 8)")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            channels = {0: 1, 2: 3, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"PNG color type {color} not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = filters[y]
+        line = rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            acc = np.add.accumulate(line.reshape(w, bpp), axis=0, dtype=np.uint8)
+            out[y] = acc.reshape(stride)
+        elif f == 3:  # Average
+            rec = out[y]
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = out[y]
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+    arr = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+    if channels == 4:
+        arr = arr[..., :3].copy()  # drop alpha
+    return arr
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Decode any supported uncompressed format by magic bytes."""
+    """Decode any supported format by magic bytes (PPM/PGM/BMP
+    uncompressed; PNG via stdlib zlib)."""
     fmt = sniff_image_format(payload)
     if fmt in ("ppm", "pgm"):
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise NotImplementedError(
-        "unsupported image payload (supported uncompressed: PPM/PGM/BMP; "
+        "unsupported image payload (supported: PPM/PGM/BMP/PNG; other "
         "compressed formats need an injected codec)"
     )
 
@@ -142,6 +243,39 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         raise ValueError("encode_ppm expects a (h, w, 3) RGB array")
     h, w, _ = arr.shape
     return b"P6 %d %d 255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 gray (h,w) or RGB (h,w,3) → PNG bytes (filter 0, one IDAT).
+    Stdlib zlib only — the test/round-trip twin of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        color, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color, channels = 2, 3
+    else:
+        raise ValueError("encode_png expects (h,w) gray or (h,w,3) RGB")
+    h, w = arr.shape[:2]
+    a = arr.astype(np.uint8).reshape(h, w * channels)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def to_grayscale(arr: np.ndarray) -> np.ndarray:

@@ -224,6 +224,82 @@ def image_stats(
     )
 
 
+def synth_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16-bit PCM WAV payloads from an id column:
+    ``256 + id%128`` samples at 8 kHz, sample(i) = ``(id·7 + 13i) mod
+    2003 − 1001``.  Real RIFF bytes through the real decoder, features a
+    SQL oracle recomputes analytically."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel.audio import encode_wav_pcm16
+
+    @pandas_udf(T.BinaryType())
+    def _mk(id_s: pd.Series) -> pd.Series:
+        out = []
+        for i in id_s:
+            i = int(i)
+            n = 256 + i % 128
+            idx = np.arange(n, dtype=np.int64)
+            samples = ((i * 7 + 13 * idx) % 2003 - 1001).astype("<i2")
+            out.append(encode_wav_pcm16(samples, 8000))
+        return pd.Series(out)
+
+    return ids.select(
+        F.col(id_col).cast("long").alias("media_id"), _mk(F.col(id_col)).alias("payload")
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def audio_stats(
+    media: DataFrame, decoder: Callable[[bytes], tuple] | None = None
+) -> DataFrame:
+    """Decode WAV payloads and report per-clip features (duration, RMS,
+    peak, zero crossings) — the audio leg of the multimodal path, real
+    for RIFF/PCM via ``kernel/audio.py``; pass ``decoder`` returning
+    ``(samples, sample_rate)`` for compressed formats."""
+    from ..kernel import audio as aud
+
+    use = decoder or aud.decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, sr = use(payload)
+                f = aud.audio_features(samples, sr)
+                rows.append(
+                    (
+                        mid,
+                        f["n_samples"],
+                        f["duration_ms"],
+                        f["rms"],
+                        f["peak"],
+                        f["zero_crossings"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms)
     via ``sequence``+``explode`` — the decode of each frame happens in

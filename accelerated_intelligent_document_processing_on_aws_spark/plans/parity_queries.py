@@ -1135,6 +1135,46 @@ def image_decode_stats(spark, sf_dir):
 
 
 @q(
+    "audio_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id, CAST(256 + doc_id % 128 AS INT) AS n_samples FROM documents
+    ), g AS (
+      SELECT i.g AS i FROM generate_series(0, 383) i(g)
+    ), samp AS (
+      SELECT d.doc_id, d.n_samples, g.i,
+             ((d.doc_id*7 + 13*g.i) % 2003 - 1001) AS v,
+             CASE WHEN g.i > 0
+                  THEN ((d.doc_id*7 + 13*(g.i-1)) % 2003 - 1001) END AS vprev
+      FROM dims d JOIN g ON g.i < d.n_samples
+    )
+    SELECT doc_id AS media_id, n_samples,
+           CAST(FLOOR(n_samples * 1000 / 8000) AS INT) AS duration_ms,
+           ROUND(sqrt(AVG((v/32768.0)*(v/32768.0))), 6) AS rms,
+           ROUND(MAX(abs(v))/32768.0, 6) AS peak,
+           CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (vprev >= 0))
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM samp GROUP BY 1, 2
+    """,
+)
+def audio_decode_stats(spark, sf_dir):
+    """REAL audio decode (round-3): deterministic RIFF/PCM WAV payloads
+    run through the pure-numpy decoder + feature kernel
+    (``kernel/audio.py``); the oracle recomputes duration/RMS/peak/
+    zero-crossings analytically from the sample formula — the audio leg
+    of the multimodal data model, driver-checked end-to-end."""
+    media = multimodal.synth_wav_media(_t(spark, sf_dir, "documents"))
+    return multimodal.audio_stats(media).select(
+        "media_id",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "zero_crossings",
+    )
+
+
+@q(
     "excel_sheet_pages",
     """
     WITH rows AS (

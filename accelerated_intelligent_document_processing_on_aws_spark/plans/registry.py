@@ -30,6 +30,7 @@ FRONT = [
     "page_classification_accuracy_events",
     "payload_kind_sniff",
     "asof_join_events_chunked",
+    "audio_decode_stats",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",

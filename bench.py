@@ -48,6 +48,10 @@ HEADLINE = [
     "sections_bio_events",
     "stickler_config_eval",
     "single_class_sections_events",
+    # round 3 additions
+    "image_decode_stats",
+    "semantic_cosine_eval",
+    "eval_rollup_docs",
 ]
 
 
