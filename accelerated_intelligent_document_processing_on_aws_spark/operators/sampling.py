@@ -67,6 +67,7 @@ def pack_token_windows(
     token_col: str,
     window_tokens: int,
     part_col: str | None = None,
+    range_partitions: int | None = None,
 ) -> DataFrame:
     """Sequence packing: assign documents, in deterministic ``order_col``
     order (optionally within ``part_col`` groups), to training context
@@ -76,7 +77,18 @@ def pack_token_windows(
     the streaming-friendly approximation of first-fit packing: a
     document starts in the window its predecessors filled up to, and an
     over-long document spills into the next id rather than being split.
-    One window shuffle, no UDF."""
+
+    Without ``part_col`` the running sum is GLOBAL, and a bare
+    ``Window.orderBy`` funnels the whole corpus through one task — fine
+    locally, fatal at 10^9 docs.  ``range_partitions=N`` switches to the
+    two-pass segmented form: range-partition on ``order_col``, compute
+    the prefix sum within each range in parallel, then add each range's
+    cumulative offset from a tiny N-row table (broadcast join).  Same
+    result (``order_col`` must be a total order), scale-shaped."""
+    if part_col is None and range_partitions:
+        return _pack_token_windows_ranged(
+            df, order_col, token_col, window_tokens, range_partitions
+        )
     keys = [part_col] if part_col else []
     w = (
         Window.partitionBy(*keys)
@@ -86,4 +98,44 @@ def pack_token_windows(
     cum = F.sum(token_col).over(w) - F.col(token_col)  # exclusive prefix sum
     return df.withColumn(
         "window_id", F.floor(cum / F.lit(window_tokens)).cast("int")
+    )
+
+
+def _pack_token_windows_ranged(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    window_tokens: int,
+    range_partitions: int,
+) -> DataFrame:
+    """Two-pass global prefix sum: range-partition → in-range window →
+    per-range offsets (running sum over an N-row frame) → broadcast
+    join.  The only serialized step touches ``range_partitions`` rows."""
+    ranged = df.repartitionByRange(range_partitions, F.col(order_col)).withColumn(
+        "_rid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("_rid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranged.withColumn("_incl", F.sum(token_col).over(w_in))
+    # per-range totals → exclusive running offsets; the window frame here
+    # is range_partitions rows — trivially single-task by construction
+    w_off = (
+        Window.orderBy("_rid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        within.groupBy("_rid")
+        .agg(F.sum(token_col).alias("_total"))
+        .select(
+            "_rid",
+            F.coalesce(F.sum("_total").over(w_off), F.lit(0)).alias("_offset"),
+        )
+    )
+    excl = F.col("_offset") + F.col("_incl") - F.col(token_col)
+    return (
+        within.join(F.broadcast(offsets), "_rid")
+        .withColumn("window_id", F.floor(excl / F.lit(window_tokens)).cast("int"))
+        .drop("_rid", "_incl", "_offset")
     )

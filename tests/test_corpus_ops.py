@@ -485,3 +485,29 @@ class TestSimhashOverflow:
             docs, max_hamming=3, max_bucket_size=4, overflow="drop"
         )
         assert dropped.count() == 0
+
+
+class TestPackRanged:
+    def test_ranged_equals_global_window(self, spark):
+        """The two-pass range-partitioned packing must equal the global
+        single-window form for any partition count."""
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.sampling import (
+            pack_token_windows,
+        )
+
+        import random
+        rng = random.Random(5)
+        rows = [(i, rng.randint(1, 900)) for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+        want = {
+            r["doc_id"]: r["window_id"]
+            for r in pack_token_windows(df, "doc_id", "n_tokens", 4096).collect()
+        }
+        for n in (1, 7, 64):
+            got = {
+                r["doc_id"]: r["window_id"]
+                for r in pack_token_windows(
+                    df, "doc_id", "n_tokens", 4096, range_partitions=n
+                ).collect()
+            }
+            assert got == want, f"range_partitions={n}"
