@@ -936,3 +936,109 @@ def sessionize_time_gap(spark, sf_dir):
             F.min("event_id").cast("long").alias("first_event"),
         )
     )
+
+
+# -- TPC-H Q18 shape: large-volume customers (HAVING on a grouped sum,
+#    then a semi-style join back to the detail) ------------------------------
+@q(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: the HAVING subquery becomes an aggregated
+    semi-join (big-side aggregate first, THEN the dimension joins — the
+    filter shrinks lineitem before any wide join; customer broadcasts)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# -- TPC-H Q21 shape: suppliers who kept waiting orders (EXISTS + NOT EXISTS
+#    on the same detail table → semi + anti joins) ---------------------------
+@q(
+    "q21_waiting_supplier",
+    """
+    WITH l AS (
+      SELECT li.l_orderkey, li.l_suppkey,
+             li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN l l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same detail table;
+    'late' = shipped > 60 days after order date — the synthetic schema
+    carries l_shipdate, not receipt/commit dates).  EXISTS pairs become
+    ONE per-order aggregate (distinct suppliers overall and among late
+    lines) instead of two correlated re-scans: the order qualifies for
+    l1 iff it has >1 distinct supplier and exactly one late supplier
+    (l1's own, since l1 is late)."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    l1 = l.where(F.col("late")).select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

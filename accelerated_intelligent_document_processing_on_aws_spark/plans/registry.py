@@ -31,6 +31,8 @@ FRONT = [
     "payload_kind_sniff",
     "asof_join_events_chunked",
     "audio_decode_stats",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
