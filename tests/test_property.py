@@ -228,3 +228,72 @@ class TestGapFlush:
         assert flushed["gap_flushed"].all()
         assert flushed["section_id"].tolist() == [2, 2]      # numbering continues
         assert flushed["pending_after"].iloc[-1] == 0
+
+
+class TestCodecProperties:
+    """Round-trip invariants for the pure-numpy codecs."""
+
+    @given(
+        st.integers(1, 24), st.integers(1, 24),
+        st.sampled_from(["gray", "rgb"]), st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_round_trip(self, h, w, mode, seed):
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel import (
+            image as img,
+        )
+
+        rng = np.random.RandomState(seed % (2**32))
+        shape = (h, w) if mode == "gray" else (h, w, 3)
+        arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+        assert np.array_equal(img.decode_png(img.encode_png(arr)), arr)
+
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_pnm_round_trip(self, h, w, seed):
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel import (
+            image as img,
+        )
+
+        rng = np.random.RandomState(seed % (2**32))
+        g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(img.decode_ppm(img.encode_pgm(g)), g)
+        rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(img.decode_ppm(img.encode_ppm(rgb)), rgb)
+
+    @given(st.integers(1, 2000), st.integers(1, 2), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_wav_round_trip(self, n, channels, seed):
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel import (
+            audio as aud,
+        )
+
+        rng = np.random.RandomState(seed % (2**32))
+        samples = rng.randint(-32768, 32768, size=(n, channels)).astype(np.int16)
+        got, sr = aud.decode_wav(aud.encode_wav_pcm16(samples, 22050))
+        assert sr == 22050 and got.shape == (n, channels)
+        assert np.allclose(got * 32768.0, samples)
+
+    @given(st.integers(1, 64), st.integers(1, 64), st.integers(1, 64))
+    @settings(max_examples=60, deadline=None)
+    def test_resize_never_upscales_and_bounds(self, h, w, max_side):
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernel import (
+            image as img,
+        )
+
+        arr = np.zeros((h, w), np.uint8)
+        out = img.resize_max_side(arr, max_side)
+        assert max(out.shape) <= max(max_side, min(h, w), 1) or max(out.shape) <= max(h, w)
+        assert out.shape[0] <= h and out.shape[1] <= w  # never upscale
+        if max(h, w) <= max_side:
+            assert out.shape == (h, w)
+        else:
+            assert max(out.shape) <= max_side
