@@ -23,6 +23,11 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="jsonl = raw agent-log shards via the "
+                         "transcript_jsonl Python data source (one task "
+                         "per shard); parquet = the hot path")
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--wave-size", type=int, default=16)
@@ -46,7 +51,15 @@ def main() -> None:
         run_checkpointed_extraction,
     )
 
-    transcripts = spark.read.parquet(args.input)
+    if args.input_format == "jsonl":
+        from accelerated_intelligent_document_processing_on_aws_spark.sources import (
+            jsonl_source,
+        )
+
+        jsonl_source.register(spark)
+        transcripts = spark.read.format("transcript_jsonl").load(args.input)
+    else:
+        transcripts = spark.read.parquet(args.input)
     n_turns = transcripts.count()
 
     if not args.no_warmup:
