@@ -653,3 +653,36 @@ def curation_pipeline_stats(spark, sf_dir):
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@q(
+    "zorder_keys",
+    """
+    WITH s AS (
+      SELECT MIN(CAST(user_id AS DOUBLE)) AS lo_u, MAX(CAST(user_id AS DOUBLE)) AS hi_u,
+             MIN(CAST(value AS DOUBLE)) AS lo_v, MAX(CAST(value AS DOUBLE)) AS hi_v
+      FROM events
+    ), q AS (
+      SELECT event_id,
+             CAST(LEAST(CASE WHEN hi_u = lo_u THEN 0 ELSE FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) * 255) END, 255) AS BIGINT) AS uq,
+             CAST(LEAST(CASE WHEN hi_v = lo_v THEN 0 ELSE FLOOR((CAST(value AS DOUBLE) - lo_v) / (hi_v - lo_v) * 255) END, 255) AS BIGINT) AS vq
+      FROM events, s
+    )
+    SELECT event_id, CAST((((uq >> 0) & 1) << 0) + (((vq >> 0) & 1) << 1) + (((uq >> 1) & 1) << 2) + (((vq >> 1) & 1) << 3) + (((uq >> 2) & 1) << 4) + (((vq >> 2) & 1) << 5) + (((uq >> 3) & 1) << 6) + (((vq >> 3) & 1) << 7) + (((uq >> 4) & 1) << 8) + (((vq >> 4) & 1) << 9) + (((uq >> 5) & 1) << 10) + (((vq >> 5) & 1) << 11) + (((uq >> 6) & 1) << 12) + (((vq >> 6) & 1) << 13) + (((uq >> 7) & 1) << 14) + (((vq >> 7) & 1) << 15) AS BIGINT) AS zkey
+    FROM q
+""",
+)
+def zorder_keys(spark, sf_dir):
+    """Z-order clustering key (Morton interleave of min/max-quantized
+    columns) — the multi-column file-pruning layout lever at 100 TB
+    (Delta OPTIMIZE ZORDER analog), as pure Catalyst integer
+    arithmetic; the oracle recomputes quantization + interleave
+    bit-for-bit in SQL."""
+    from ..operators.layout_opt import quantize_minmax, zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    out = quantize_minmax(quantize_minmax(e, "user_id", 8), "value", 8)
+    return out.select(
+        "event_id",
+        zorder_key(["user_id_q", "value_q"], 8).alias("zkey"),
+    )

@@ -33,6 +33,7 @@ FRONT = [
     "audio_decode_stats",
     "q18_large_orders",
     "q21_waiting_supplier",
+    "zorder_keys",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",

@@ -249,3 +249,31 @@ class TestWav:
             got = rows[i]
             assert got["n_samples"] == n
             assert got["rms"] == pytest.approx(float(np.sqrt(np.mean(v * v))), abs=1e-9)
+
+
+class TestSparkPngPath:
+    def test_image_stats_on_png_payloads(self, spark):
+        """Compressed-format path through the Spark kernel: PNG payloads
+        decode inside mapInPandas with no injected decoder."""
+        from pyspark.sql import types as T
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            multimodal,
+        )
+
+        rows = []
+        for i in range(6):
+            h, w = 8 + i, 10 + i
+            arr = ((np.arange(h * w) * (i + 3)) % 256).astype(np.uint8).reshape(h, w)
+            rows.append((i, bytearray(img.encode_png(arr)), arr.mean()))
+        media = spark.createDataFrame(
+            [(r[0], bytes(r[1])) for r in rows],
+            T.StructType([
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]),
+        )
+        got = {r["media_id"]: r for r in multimodal.image_stats(media).collect()}
+        for i, _, mean in rows:
+            assert got[i]["width"] == 10 + i and got[i]["height"] == 8 + i
+            assert abs(got[i]["mean_gray"] - mean) < 1e-9
