@@ -1042,3 +1042,74 @@ def q21_waiting_supplier(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# -- exact percentiles / median (score-distribution reporting) ---------------
+@q(
+    "percentile_scores",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_scores(spark, sf_dir):
+    """EXACT percentile aggregates (Spark 4 ``percentile`` — continuous
+    interpolation, same definition as DuckDB ``quantile_cont``) — the
+    score-distribution reporting shape (confidence/price percentiles
+    per class).  Exact, so hash-comparable cross-engine; the approx
+    sketch (``percentile_approx``) is the >10^9-rows-per-group scale
+    path with the same call shape."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# -- built-in session windows (vs the manual gaps-and-islands twin) ----------
+@q(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark, sf_dir):
+    """Spark's BUILT-IN ``session_window`` (dynamic gap sessions as a
+    grouping expression — the same operator Structured Streaming uses
+    for stateful session aggregation) cross-checked against the manual
+    lag/running-sum sessionization the oracle states: same sessions,
+    same counts.  One shuffle; session merge happens inside the
+    aggregation operator, no window function needed."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(
+                F.to_utc_timestamp(F.col("session_window.start"), "UTC")
+            ).alias("session_start_us"),
+            "n_events",
+        )
+    )

@@ -34,6 +34,8 @@ FRONT = [
     "q18_large_orders",
     "q21_waiting_supplier",
     "zorder_keys",
+    "percentile_scores",
+    "session_window_agg",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
