@@ -1113,3 +1113,35 @@ def session_window_agg(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# -- VARIANT semi-structured path (Spark 4): parse once, extract binary ------
+@q(
+    "variant_props_rollup",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_total,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_present,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark, sf_dir):
+    """Semi-structured props through Spark 4's VARIANT type
+    (``parse_json`` once → binary-encoded ``variant_get`` extracts) —
+    at 100 TB this is the schema-free column strategy: one parse at
+    ingest, typed sub-field access after, no per-query string
+    re-parsing (the ``get_json_object`` path this engine also carries
+    re-tokenizes the JSON text per call).  The oracle states the plain
+    JSON-extract semantics."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_total"),
+            F.count(k).cast("bigint").alias("k_present"),
+            F.max(k).cast("int").alias("k_max"),
+        )
+    )

@@ -36,6 +36,7 @@ FRONT = [
     "zorder_keys",
     "percentile_scores",
     "session_window_agg",
+    "variant_props_rollup",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
