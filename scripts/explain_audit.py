@@ -191,6 +191,23 @@ def main() -> None:
         ),
     )
 
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.layout_opt import (
+        zorder_layout,
+    )
+
+    add(
+        "Z-order layout (round 3)",
+        "Quantization reads min/max from ONE broadcast 1-row aggregate "
+        "(BroadcastNestedLoopJoin against a single row — no global "
+        "window); the Morton key is pure integer arithmetic inside "
+        "codegen; the only exchange is the final repartitionByRange "
+        "that lays files out for multi-column min/max pruning.",
+        zorder_layout(
+            spark.read.parquet(f"{SF}/events.parquet"), ["user_id", "value"],
+            bits=8, n_files=8,
+        ),
+    )
+
     add(
         "Exact dedup groups",
         "Partial hash aggregation (map-side combine on md5) before the "
