@@ -68,13 +68,31 @@ def zorder_layout(
     """Quantize ``cols``, range-partition on the Z-value, sort within
     partitions — the frame is ready for ``write.parquet`` to emit
     ``n_files`` z-clustered files whose per-column min/max stats prune
-    range predicates on ANY of ``cols``."""
-    out = df
+    range predicates on ANY of ``cols``.
+
+    All columns' min/max come from ONE shared aggregate (a single extra
+    scan total + one broadcast, not one pass per column — per-column
+    :func:`quantize_minmax` calls would re-scan the input per
+    dimension)."""
+    aggs = []
     for c in cols:
-        out = quantize_minmax(out, c, bits)
-    out = out.withColumn("_zkey", zorder_key([f"{c}_q" for c in cols], bits))
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_min_{c}"), F.max(v).alias(f"_max_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    buckets = F.lit((1 << bits) - 1)
+    qcols = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+        q = F.when(hi == lo, F.lit(0)).otherwise(
+            F.floor((v - lo) / (hi - lo) * buckets)
+        )
+        out = out.withColumn(f"{c}_q", F.least(q, buckets).cast("long"))
+        qcols.append(f"{c}_q")
+    out = out.withColumn("_zkey", zorder_key(qcols, bits))
     return (
         out.repartitionByRange(n_files, F.col("_zkey"))
         .sortWithinPartitions("_zkey")
-        .drop("_zkey", *[f"{c}_q" for c in cols])
+        .drop("_zkey", *qcols, *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols])
     )
