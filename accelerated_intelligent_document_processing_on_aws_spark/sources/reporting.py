@@ -14,6 +14,7 @@ partition pruning then serves the date-filtered analytics queries
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -189,3 +190,45 @@ def overwrite_date_partitions(df: DataFrame, path: str, ts_col: str = "ts") -> N
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction — the table-maintenance op that keeps scan
+    parallelism healthy at warehouse scale (a 100 TB table fed by
+    incremental jobs accretes millions of KB-sized files; open/footer
+    overhead then dominates scans).  Rewrites the directory into
+    ``ceil(total_bytes / target_bytes)`` files via ``coalesce`` (no
+    shuffle — coalesce only merges read splits), staging to a temp dir
+    and swapping so a crash mid-compact leaves the original intact.
+
+    Returns ``{files_before, files_after, bytes}``.  On Iceberg
+    deployments prefer the catalog's ``rewrite_data_files`` action
+    (snapshot-safe, concurrent-writer-safe) — this is the plain-parquet
+    fallback, safe only without concurrent writers (documented)."""
+    import math
+    import shutil
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    if len(files) < min_files:
+        return {"files_before": len(files), "files_after": len(files), "bytes": 0}
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):
+        return {"files_before": len(files), "files_after": len(files), "bytes": total}
+    tmp = path.rstrip("/") + "._compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -83,3 +83,29 @@ def run_stream_to_parquet(transcripts_stream: DataFrame, out_dir: str,
     if once:
         return writer.trigger(availableNow=True).start()
     return writer.trigger(processingTime="10 seconds").start()
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful session aggregation on a stream: Spark's built-in
+    ``session_window`` merges a key's events into gap-separated sessions
+    ACROSS micro-batches (state held until the watermark passes the
+    session end + gap), emitting each finalized session exactly once in
+    append mode — the streaming twin of the batch
+    ``session_window_agg`` / gaps-and-islands sessionization."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

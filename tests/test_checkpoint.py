@@ -269,3 +269,40 @@ class TestBucketedJoin:
         assert "Exchange" not in plan  # co-located: no shuffle on either side
         assert joined.count() == 2000
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+class TestCompaction:
+    def test_compact_preserves_data_and_shrinks_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "smallfiles")
+        df = spark.range(0, 20000).withColumn("v", F.col("id") * 2)
+        df.repartition(40).write.parquet(path)
+        import os as _os
+        before_files = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+        assert len(before_files) == 40
+        before_sum = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+
+        stats = compact_parquet_dir(spark, path, target_bytes=10 * 1024 * 1024)
+        assert stats["files_before"] == 40
+        assert stats["files_after"] < 40
+        got = spark.read.parquet(path)
+        assert got.count() == 20000
+        assert got.agg(F.sum("v")).first()[0] == before_sum
+        # no leftover staging dirs
+        assert not _os.path.exists(path + "._compact_tmp")
+        assert not _os.path.exists(path + "._compact_old")
+
+    def test_compact_noop_when_already_large(self, spark, tmp_path):
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+            compact_parquet_dir,
+        )
+
+        path = str(tmp_path / "fine")
+        spark.range(0, 100).coalesce(1).write.parquet(path)
+        stats = compact_parquet_dir(spark, path)
+        assert stats["files_before"] == stats["files_after"] == 1

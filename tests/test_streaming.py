@@ -402,3 +402,74 @@ class TestEventTimeFlush:
         assert c1[2]["section_id"] == 1 and c1[3]["section_id"] == 2
         wm = {r["turn_idx"]: r for r in rows if r["conv_id"] == "wm"}
         assert not any(r["gap_flushed"] for r in wm.values())
+
+
+class TestStreamingSessionWindows:
+    def test_sessions_merge_across_microbatches(self, spark, tmp_path):
+        """Built-in session_window in a stream: one user's events arrive
+        in TWO micro-batches 10 minutes apart (same session, gap 30m) —
+        the state store must merge them into ONE session row; a later
+        event past the gap starts a new session; finalization happens
+        when the watermark passes session_end + nothing pending."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.ingest import (
+            streaming_session_counts,
+        )
+
+        def ts(minute):
+            return datetime(2026, 1, 1, 10 + minute // 60, minute % 60, 0,
+                            tzinfo=timezone.utc)
+
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("ts", pa.timestamp("us", tz="UTC"))]
+        )
+        shard_dir = tmp_path / "sess_shards"
+        shard_dir.mkdir()
+
+        def write(name, rows, mtime):
+            path = str(shard_dir / name)
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]},
+                    schema=schema,
+                ),
+                path,
+            )
+            os.utime(path, (mtime, mtime))
+
+        # batch 0: user 1 at 10:00, 10:05
+        write("s0.parquet", [(1, ts(0)), (1, ts(5))], 1_700_000_000)
+        # batch 1: user 1 at 10:15 — still the same session (gaps < 30m)
+        write("s1.parquet", [(1, ts(15))], 1_700_000_060)
+        # batch 2: user 1 at 11:59 — new session; also advances the
+        # watermark (10m delay → 11:49) past 10:45 = first session end
+        write("s2.parquet", [(1, ts(119))], 1_700_000_120)
+        # batch 3: watermark mover to finalize everything pending
+        write("s3.parquet", [(2, ts(170))], 1_700_000_180)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shard_dir))
+        )
+        out_dir = str(tmp_path / "sess_out")
+        q = (
+            streaming_session_counts(stream, gap="30 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = [r for r in spark.read.parquet(out_dir).collect() if r["user_id"] == 1]
+        by_start = {r["session_start"].minute: r for r in rows}
+        # ONE merged session covering 10:00-10:15 (+gap), count 3
+        assert 0 in by_start and by_start[0]["n_events"] == 3
+        assert by_start[0]["session_end"].minute == 45  # 10:15 + 30m gap
+        # the 11:59 event is its own finalized session of 1
+        assert 59 in by_start and by_start[59]["n_events"] == 1
