@@ -553,9 +553,13 @@ def simhash_pairs(
             .bitwiseAND(F.lit((1 << widths[i]) - 1))
         )
 
-    fp = docs.select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp")).where(
-        F.col("fp").isNotNull()
-    )
+    # empty-text filter on the RAW column, not on the UDF output — a
+    # predicate on the UDF column makes Catalyst evaluate the UDF twice
+    # (see the minhash note above); the UDF returns NULL exactly when
+    # the trimmed text is empty, so this is the same row set
+    fp = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp"))
     chunks = fp.select(
         "id",
         "fp",
@@ -581,6 +585,13 @@ def simhash_pairs(
     cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
     chunk_w = Window.partitionBy("chunk_idx", "chunk")
     sized = chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w))
+    if overflow == "join" and max_bucket_size is not None:
+        # the overflow branch references `sized` three times (bucket path
+        # + both self-join sides) — without materialization Catalyst
+        # re-evaluates the scan + fingerprint UDF per reference (3 full
+        # passes).  A LAZY local checkpoint computes it once on first
+        # action and serves the other references from executor storage.
+        sized = sized.localCheckpoint(eager=False)
     buckets = (
         sized.where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
         .groupBy("chunk_idx", "chunk")

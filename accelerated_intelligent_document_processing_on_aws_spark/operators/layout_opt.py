@@ -62,16 +62,9 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     return key
 
 
-def zorder_layout(
-    df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 64
-) -> DataFrame:
-    """Quantize ``cols``, range-partition on the Z-value, sort within
-    partitions — the frame is ready for ``write.parquet`` to emit
-    ``n_files`` z-clustered files whose per-column min/max stats prune
-    range predicates on ANY of ``cols``.
-
-    All columns' min/max come from ONE shared aggregate (a single extra
-    scan total + one broadcast, not one pass per column — per-column
+def quantize_minmax_multi(df: DataFrame, cols: list[str], bits: int) -> DataFrame:
+    """Add ``{col}_q`` for every column from ONE shared min/max
+    aggregate (a single extra scan + one broadcast total — per-column
     :func:`quantize_minmax` calls would re-scan the input per
     dimension)."""
     aggs = []
@@ -81,7 +74,6 @@ def zorder_layout(
     stats = df.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
     buckets = F.lit((1 << bits) - 1)
-    qcols = []
     for c in cols:
         v = F.col(c).cast("double")
         lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
@@ -89,10 +81,24 @@ def zorder_layout(
             F.floor((v - lo) / (hi - lo) * buckets)
         )
         out = out.withColumn(f"{c}_q", F.least(q, buckets).cast("long"))
-        qcols.append(f"{c}_q")
-    out = out.withColumn("_zkey", zorder_key(qcols, bits))
+    return out.drop(
+        *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols]
+    )
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 64
+) -> DataFrame:
+    """Quantize ``cols``, range-partition on the Z-value, sort within
+    partitions — the frame is ready for ``write.parquet`` to emit
+    ``n_files`` z-clustered files whose per-column min/max stats prune
+    range predicates on ANY of ``cols``."""
+    qcols = [f"{c}_q" for c in cols]
+    out = quantize_minmax_multi(df, cols, bits).withColumn(
+        "_zkey", zorder_key(qcols, bits)
+    )
     return (
         out.repartitionByRange(n_files, F.col("_zkey"))
         .sortWithinPartitions("_zkey")
-        .drop("_zkey", *qcols, *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols])
+        .drop("_zkey", *qcols)
     )

@@ -678,10 +678,10 @@ def zorder_keys(spark, sf_dir):
     (Delta OPTIMIZE ZORDER analog), as pure Catalyst integer
     arithmetic; the oracle recomputes quantization + interleave
     bit-for-bit in SQL."""
-    from ..operators.layout_opt import quantize_minmax, zorder_key
+    from ..operators.layout_opt import quantize_minmax_multi, zorder_key
 
     e = _t(spark, sf_dir, "events")
-    out = quantize_minmax(quantize_minmax(e, "user_id", 8), "value", 8)
+    out = quantize_minmax_multi(e, ["user_id", "value"], 8)
     return out.select(
         "event_id",
         zorder_key(["user_id_q", "value_q"], 8).alias("zkey"),
