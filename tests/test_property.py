@@ -297,3 +297,85 @@ class TestCodecProperties:
             assert out.shape == (h, w)
         else:
             assert max(out.shape) <= max_side
+
+
+class _MemState:
+    """GroupState stand-in for direct stateful-fn property tests."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+class TestStreamingSegmentationDeterminism:
+    """The reorder buffer's core contract: for a contiguous 0-based
+    conversation, ANY partition of the turns into micro-batches in ANY
+    batch order yields exactly the batch BIO numbering."""
+
+    @given(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=24),
+        st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_any_delivery_order_matches_batch_bio(self, classes, data):
+        import pandas as pd
+
+        from accelerated_intelligent_document_processing_on_aws_spark.streaming.stateful import (
+            _make_segment_group,
+        )
+
+        turns = [(i, c, "continue") for i, c in enumerate(classes)]
+        # batch-BIO reference numbering
+        want, last, sec = {}, None, 0
+        for i, c, _ in turns:
+            if last is None or c != last:
+                sec += 1
+            want[i] = sec
+            last = c
+
+        # random partition into chunks, delivered in a random order
+        n = len(turns)
+        n_cuts = data.draw(st.integers(0, max(0, n - 1)))
+        cuts = sorted(data.draw(
+            st.lists(st.integers(1, max(1, n - 1)), min_size=n_cuts,
+                     max_size=n_cuts, unique=True)
+        )) if n > 1 else []
+        chunks, prev = [], 0
+        for cut in cuts + [n]:
+            if cut > prev:
+                chunks.append(turns[prev:cut])
+                prev = cut
+        order = data.draw(st.permutations(range(len(chunks))))
+
+        fn = _make_segment_group(None)
+        state = _MemState()
+        got = {}
+        for ci in order:
+            chunk = chunks[ci]
+            pdf = pd.DataFrame(
+                {
+                    "conv_id": ["c"] * len(chunk),
+                    "turn_idx": [t[0] for t in chunk],
+                    "classification": [t[1] for t in chunk],
+                    "boundary": [t[2] for t in chunk],
+                }
+            )
+            out = list(fn(("c",), iter([pdf]), state))[0]
+            for _, row in out.iterrows():
+                assert row["turn_idx"] not in got, "duplicate emission"
+                got[row["turn_idx"]] = row["section_id"]
+        assert got == want
