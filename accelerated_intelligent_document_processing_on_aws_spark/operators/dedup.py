@@ -377,6 +377,9 @@ def minhash_lsh_pairs(
     cand = (
         buckets.select(F.explode(_pair_combinations(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
+        # duplicate input ids would produce (x, x) self-pairs — guard
+        # costs one codegen predicate (run exact dedup first regardless)
+        .where(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     # exact-Jaccard verify over CANDIDATE ids only: semi-join narrows the
@@ -456,7 +459,7 @@ def _minhash_pairs_carry(
             F.col("p.id_b.id").alias("id_b"),
             F.round(inter / union, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= jaccard_threshold)
+        .where((F.col("jaccard") >= jaccard_threshold) & (F.col("id_a") != F.col("id_b")))
         .distinct()
     )
 
@@ -622,7 +625,9 @@ def simhash_pairs(
             )
         )
         pairs = pairs.unionByName(over_pairs)
-    return pairs.where(F.col("hamming") <= max_hamming).distinct()
+    return pairs.where(
+        (F.col("hamming") <= max_hamming) & (F.col("id_a") != F.col("id_b"))
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -183,20 +183,37 @@ def range_join(
     end_col: str,
     time_col: str,
     bucket_seconds: int = 3600,
+    max_span_buckets: int = 10_000,
 ) -> DataFrame:
     """Inner join of point rows onto [start, end] interval rows sharing
     ``by``, bucketized: each interval explodes into the time-grid
     buckets it covers, points map to their single bucket, the equi-join
     runs on (by, bucket), and the exact containment predicate filters —
     an interval spanning k buckets costs k join rows instead of a
-    per-key cross-product.  Inclusive on both ends."""
+    per-key cross-product.  Inclusive on both ends.
+
+    Guards (round 3): a reversed interval (end < start) explodes to
+    zero rows instead of a descending garbage sequence, and an interval
+    spanning more than ``max_span_buckets`` grid cells FAILS the task
+    loudly — a multi-year interval on an hour grid is a data bug or a
+    mis-sized ``bucket_seconds``, and silently exploding it row-bombs
+    the join."""
     b = F.lit(bucket_seconds)
+    lo = F.floor(F.unix_timestamp(F.col(start_col)) / b)
+    hi = F.floor(F.unix_timestamp(F.col(end_col)) / b)
+    span_ok = F.assert_true(
+        hi - lo < F.lit(max_span_buckets),
+        F.concat(
+            F.lit("range_join interval spans too many grid buckets (> "),
+            F.lit(str(max_span_buckets)),
+            F.lit("): widen bucket_seconds or fix the interval"),
+        ),
+    )
     ivals = intervals.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_col)) / b),
-                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            F.when(span_ok.isNull() & (hi >= lo), F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ),
     )

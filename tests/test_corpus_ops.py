@@ -511,3 +511,64 @@ class TestPackRanged:
                 ).collect()
             }
             assert got == want, f"range_partitions={n}"
+
+
+class TestDuplicateIdInputs:
+    def test_no_self_pairs_on_duplicate_ids(self, spark):
+        """Dirty input with a repeated doc_id must not emit (x, x)
+        self-pairs from any near-dup path."""
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (1, "alpha beta gamma delta epsilon zeta"),   # same id twice
+             (2, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        mh = dedup.minhash_lsh_pairs(docs, shingle_n=2, num_hashes=32,
+                                     bands=16, jaccard_threshold=0.2).collect()
+        assert all(r["id_a"] != r["id_b"] for r in mh)
+        assert {(r["id_a"], r["id_b"]) for r in mh} == {(1, 2)}
+        sh = dedup.simhash_pairs(docs, max_hamming=3).collect()
+        assert all(r["id_a"] != r["id_b"] for r in sh)
+
+
+class TestRangeJoinGuards:
+    def test_reversed_interval_yields_no_rows(self, spark):
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            range_join,
+        )
+
+        def ts(h):
+            return datetime(2026, 1, 1, h, 0, 0, tzinfo=timezone.utc)
+
+        ivals = spark.createDataFrame(
+            [("u", 1, ts(5), ts(2))], "user string, iid int, s timestamp, e timestamp"
+        )
+        pts = spark.createDataFrame(
+            [("u", 10, ts(3))], "user string, pid int, ts timestamp"
+        )
+        got = range_join(ivals, pts, ["user"], "s", "e", "ts").collect()
+        assert got == []
+
+    def test_pathological_span_raises(self, spark):
+        import pytest as _pt
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            range_join,
+        )
+
+        ivals = spark.createDataFrame(
+            [("u", 1,
+              datetime(2000, 1, 1, tzinfo=timezone.utc),
+              datetime(2026, 1, 1, tzinfo=timezone.utc))],
+            "user string, iid int, s timestamp, e timestamp",
+        )
+        pts = spark.createDataFrame(
+            [("u", 10, datetime(2010, 1, 1, tzinfo=timezone.utc))],
+            "user string, pid int, ts timestamp",
+        )
+        with _pt.raises(Exception, match="spans too many grid buckets"):
+            range_join(ivals, pts, ["user"], "s", "e", "ts",
+                       bucket_seconds=3600).collect()
