@@ -52,6 +52,16 @@ def asof_join(
     extra (small) shuffle + a broadcast-or-shuffle join back."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    # null-timestamp semantics (round 3, explicit instead of ambient
+    # null-sort order): a right row with NULL `on` can never be "the
+    # most recent at time t" — dropped; a left row with NULL `on` has
+    # no defined as-of point — passes through with NULL match columns
+    # (matching DuckDB/pandas ASOF null behavior).
+    null_left = left.where(F.col(on).isNull()).select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}") for c in value_cols]
+    )
+    left = left.where(F.col(on).isNotNull())
+    right = right.where(F.col(on).isNotNull())
     lcols = left.columns
     tagged_l = left.select(
         *lcols,
@@ -90,12 +100,13 @@ def asof_join(
                 for c in value_cols
             ],
         )
-        return carried.where(F.col("_is_left") == 1).select(
+        matched = carried.where(F.col("_is_left") == 1).select(
             *lcols, *[F.col(f"_m_{c}").alias(f"asof_{c}") for c in value_cols]
         )
+        return matched.unionByName(null_left)
     return _asof_join_chunked(
         u, on, by, value_cols, lcols, backward, chunk_seconds
-    )
+    ).unionByName(null_left)
 
 
 def _asof_join_chunked(

@@ -572,3 +572,34 @@ class TestRangeJoinGuards:
         with _pt.raises(Exception, match="spans too many grid buckets"):
             range_join(ivals, pts, ["user"], "s", "e", "ts",
                        bucket_seconds=3600).collect()
+
+
+class TestAsofNullTimestamps:
+    def test_null_ts_rows_explicit_semantics(self, spark):
+        """Null-ts right rows never match; null-ts left rows pass
+        through with a NULL match (DuckDB/pandas ASOF behavior)."""
+        from datetime import datetime, timezone
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
+            asof_join,
+        )
+
+        def ts(h):
+            return datetime(2026, 1, 1, h, 0, 0, tzinfo=timezone.utc)
+
+        left = spark.createDataFrame(
+            [("u", ts(5), 1), ("u", None, 2)],
+            "user string, ts timestamp, row_id int",
+        )
+        right = spark.createDataFrame(
+            [("u", ts(4), 40.0), ("u", None, 999.0)],
+            "user string, ts timestamp, px double",
+        )
+        for chunk in (None, 3600):
+            got = {
+                r["row_id"]: r["asof_px"]
+                for r in asof_join(
+                    left, right, "ts", ["user"], ["px"], chunk_seconds=chunk
+                ).collect()
+            }
+            assert got == {1: 40.0, 2: None}, f"chunk={chunk}"
