@@ -126,3 +126,110 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         lang_id(text_col).alias("pred_lang"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the public rule family every corpus
+    pipeline reimplements): word-count bounds, mean-word-length band,
+    symbol-to-word ratio (# and ellipsis), alpha-word fraction.  Pure
+    Catalyst — one projection, no UDF; emits per-rule booleans plus the
+    conjunction so downstream filters can either drop or audit."""
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wl = F.when(n_words > 0, F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / n_words).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_sym = symbol_ratio <= max_symbol_word_ratio
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    return df.select(
+        "*",
+        n_words.alias("g_n_words"),
+        F.round(mean_wl, 6).alias("g_mean_word_len"),
+        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("g_alpha_ratio"),
+        ok_words.alias("g_ok_words"),
+        ok_mwl.alias("g_ok_mean_word_len"),
+        ok_sym.alias("g_ok_symbol_ratio"),
+        ok_alpha.alias("g_ok_alpha_ratio"),
+        (ok_words & ok_mwl & ok_sym & ok_alpha).alias("g_pass"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition heuristics (the C4/Gopher dedup-within-document
+    family): duplicate-line fraction and top-bigram fraction per doc —
+    high values flag boilerplate/spam that survives cross-doc dedup.
+    Line stats are set ops on the split array; the top-bigram share is
+    an explode → count → max over a window keyed by the doc (one
+    shuffle on the doc id, no UDF)."""
+    from pyspark.sql import Window
+
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+        ).alias("_toks"),
+    )
+    grams = base.select(
+        "id",
+        "dup_line_frac",
+        F.size("_toks").alias("_n_toks"),
+        F.explode_outer(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(F.col("_toks"), i + 1),
+                                          F.element_at(F.col("_toks"), i + 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_gram"),
+    )
+    w = Window.partitionBy("id")
+    counted = (
+        grams.groupBy("id", "dup_line_frac", "_n_toks", "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_max_c", F.max(F.when(F.col("_gram").isNotNull(), F.col("_c"))).over(w))
+        .withColumn("_total", F.sum(F.when(F.col("_gram").isNotNull(), F.col("_c")).otherwise(0)).over(w))
+    )
+    return (
+        counted.groupBy("id", "dup_line_frac")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.max("_max_c") / F.nullif(F.max("_total"), F.lit(0)), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

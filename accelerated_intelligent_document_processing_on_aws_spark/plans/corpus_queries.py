@@ -686,3 +686,96 @@ def zorder_keys(spark, sf_dir):
         "event_id",
         zorder_key(["user_id_q", "value_q"], 8).alias("zkey"),
     )
+
+
+_WORDS_SQL = (
+    "list_filter(regexp_split_to_array(trim({t}), '\\s+'), w -> w <> '')"
+)
+
+
+@q(
+    "gopher_quality_flags",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, {_WORDS_SQL.format(t="text")} AS words,
+             len(string_split(text, '#')) - 1 AS n_hash,
+             len(string_split(text, '...')) - 1 AS n_ellipsis
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(words) AS g_n_words,
+             CASE WHEN len(words) > 0 THEN
+               CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                 / len(words) ELSE 0.0 END AS mwl,
+             CASE WHEN len(words) > 0 THEN
+               CAST(n_hash + n_ellipsis AS DOUBLE) / len(words)
+             ELSE 0.0 END AS sym,
+             CASE WHEN len(words) > 0 THEN
+               CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(words) ELSE 0.0 END AS alpha
+      FROM w
+    )
+    SELECT doc_id, g_n_words,
+           ROUND(mwl, 6)   AS g_mean_word_len,
+           ROUND(sym, 6)   AS g_symbol_ratio,
+           ROUND(alpha, 6) AS g_alpha_ratio,
+           (g_n_words BETWEEN 5 AND 100000
+            AND mwl BETWEEN 2.0 AND 12.0
+            AND sym <= 0.1 AND alpha >= 0.8) AS g_pass
+    FROM m
+    """,
+)
+def gopher_quality_flags_docs(spark, sf_dir):
+    """Gopher rule-family quality gate (Rae et al. 2021 table A1 —
+    word-count bounds, mean-word-length band, symbol ratio, alpha
+    fraction) as one Catalyst projection; the canonical pre-training
+    corpus filter, oracle-checked per rule AND on the conjunction."""
+    from ..operators.textstats import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d).select(
+        "doc_id",
+        "g_n_words",
+        "g_mean_word_len",
+        "g_symbol_ratio",
+        "g_alpha_ratio",
+        "g_pass",
+    )
+
+
+@q(
+    "repetition_stats_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             {_WORDS_SQL.format(t="lower(text)")} AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) > 0 THEN
+               ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                     / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+             ELSE [] END AS grams
+      FROM base
+    )
+    SELECT doc_id AS id, dup_line_frac,
+           CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+             ROUND(CAST(list_max(list_transform(list_distinct(grams),
+                     x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+                   / len(grams), 6) END AS top_bigram_frac
+    FROM g
+    """,
+)
+def repetition_stats_docs(spark, sf_dir):
+    """Within-document repetition heuristics (C4/Gopher family):
+    duplicate-line fraction (array set ops) and top-bigram share
+    (explode → count → window max, ONE shuffle on the doc id) — flags
+    boilerplate/spam that cross-document dedup cannot see."""
+    from ..operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d)

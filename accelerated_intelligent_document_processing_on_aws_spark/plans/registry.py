@@ -37,6 +37,8 @@ FRONT = [
     "percentile_scores",
     "session_window_agg",
     "variant_props_rollup",
+    "gopher_quality_flags",
+    "repetition_stats_docs",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
