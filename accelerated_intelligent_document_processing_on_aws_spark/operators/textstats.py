@@ -233,3 +233,68 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# RE2-and-Java-compatible patterns (no lookaround/backrefs) so the same
+# regex runs in Spark and any SQL oracle engine
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_RE = r"[0-9]{9,}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """C4-style PII scrubbing: emails → ``[EMAIL]``, 9+-digit numbers
+    (phone/SSN/account shapes) → ``[NUM]``; emits the scrubbed text
+    plus per-doc replacement counts so downstream audits can gate on
+    scrub density.  Pure ``regexp_replace`` — JVM-side, no UDF; counts
+    come from ``regexp_count`` (Spark 4)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), LONG_NUM_RE, "[NUM]"
+        ).alias(out_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(LONG_NUM_RE)).cast("int").alias("n_long_nums"),
+    )
+
+
+def blocklist_fraction(
+    df: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Blocked-token fraction per document against a (small, broadcast)
+    blocklist dim — the C4 bad-words filter shape.  Tokens explode once,
+    the broadcast join marks hits, one groupBy re-aggregates: shuffle
+    carries (doc id, token) only, never the text."""
+    toks = df.select(
+        "*",
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+            )
+        ).alias("_tok"),
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(word_col)).alias("_tok"), F.lit(True).alias("_hit"))
+    )
+    keys = [c for c in df.columns]
+    return (
+        toks.join(bl, "_tok", "left")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.col("_tok")).alias("n_tokens"),
+            F.count(F.col("_hit")).alias("n_blocked"),
+            F.round(
+                F.coalesce(
+                    F.count(F.col("_hit"))
+                    / F.nullif(F.count(F.col("_tok")).cast("double"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("blocked_frac"),
+        )
+    )

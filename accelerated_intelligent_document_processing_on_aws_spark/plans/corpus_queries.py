@@ -779,3 +779,84 @@ def repetition_stats_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return repetition_stats(d)
+
+
+@q(
+    "pii_scrub_docs",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or 4155551234567'
+                          ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g'),
+             '[0-9]{9,}', '[NUM]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{9,}')) AS INT) AS n_long_nums
+    FROM seeded
+    """,
+)
+def pii_scrub_docs(spark, sf_dir):
+    """C4-style PII scrub (emails → [EMAIL], long digit runs → [NUM])
+    with per-doc replacement counts — RE2/Java-compatible patterns so
+    the oracle replays the exact regexes.  Payloads are seeded with
+    synthetic PII in-query (the fixture corpus is clean)."""
+    from ..operators.textstats import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 4155551234567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return scrub_pii(d, text_col="t").select(
+        "doc_id", "scrubbed", "n_emails", "n_long_nums"
+    )
+
+
+_BLOCKLIST = ("join", "shuffle", "error")  # demo blocklist
+
+
+@q(
+    "blocklist_fraction_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_WORDS_SQL.format(t="lower(text)")}) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN ('join', 'shuffle', 'error')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           ROUND(CAST(SUM(CASE WHEN tok IN ('join', 'shuffle', 'error')
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS blocked_frac
+    FROM toks GROUP BY doc_id
+    """,
+)
+def blocklist_fraction_docs(spark, sf_dir):
+    """Blocked-token fraction per doc against a broadcast blocklist dim
+    (the C4 bad-words filter shape): explode tokens once, broadcast
+    join, re-aggregate — shuffle carries (doc_id, token), never text."""
+    from ..operators.textstats import blocklist_fraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "word string")
+    return blocklist_fraction(d, bl).select(
+        "doc_id", "n_tokens", "n_blocked", "blocked_frac"
+    )

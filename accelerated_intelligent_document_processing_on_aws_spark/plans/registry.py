@@ -39,6 +39,8 @@ FRONT = [
     "variant_props_rollup",
     "gopher_quality_flags",
     "repetition_stats_docs",
+    "pii_scrub_docs",
+    "blocklist_fraction_docs",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
