@@ -801,3 +801,37 @@ def embedding_near_dup(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set (the GPT-3/PaLM-style
+    13-gram overlap rule; the fixture queries use smaller n).  The
+    benchmark side is small by definition → its distinct shingles
+    BROADCAST; training docs explode shingles once and a broadcast
+    semi-join marks hits, so the big side shuffles (id, hit-count)
+    only.  Returns (id, n_hits, contaminated) for every doc — audit
+    first, filter second."""
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(shingles(tokens(bench_text_col), n)).alias("_g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingles(tokens(text_col), n)).alias("_g"),
+    )
+    hits = doc_grams.join(
+        bench_grams.withColumn("_hit", F.lit(True)), "_g", "left"
+    )
+    return hits.groupBy("id").agg(
+        F.count(F.col("_hit")).alias("n_hits"),
+        (F.count(F.col("_hit")) > 0).alias("contaminated"),
+    )

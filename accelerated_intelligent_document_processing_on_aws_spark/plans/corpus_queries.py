@@ -860,3 +860,42 @@ def blocklist_fraction_docs(spark, sf_dir):
     return blocklist_fraction(d, bl).select(
         "doc_id", "n_tokens", "n_blocked", "blocked_frac"
     )
+
+
+@q(
+    "decontaminate_train_docs",
+    """
+    WITH bench AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+        i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+             regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+             regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]
+      ))) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2, 1)),
+        i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+             regexp_split_to_array(trim(lower(text)), '\\s+')[i+1] || ' ' ||
+             regexp_split_to_array(trim(lower(text)), '\\s+')[i+2]
+      ))) AS g
+      FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id AS id,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           (SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) > 0) AS contaminated
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_train_docs(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap vs a small
+    eval set): every 97th doc plays the benchmark; the rest are flagged
+    if they share any 3-gram (13 in production — fixture docs are
+    short).  Benchmark shingles broadcast; the corpus shuffles only
+    (id, hit) rows."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return dedup.decontaminate(train, bench, n=3)

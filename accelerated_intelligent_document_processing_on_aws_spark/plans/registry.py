@@ -41,6 +41,7 @@ FRONT = [
     "repetition_stats_docs",
     "pii_scrub_docs",
     "blocklist_fraction_docs",
+    "decontaminate_train_docs",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
