@@ -112,6 +112,17 @@ def main() -> None:
         assert out_rows == n_turns, (out_rows, n_turns)
     turns_per_sec = n_turns / extract_sec
 
+    # zero-shuffle fast path (salt=0: kernel on scan partitions — valid
+    # when the input layout is byte-balanced, which parquet scans are);
+    # reported alongside, NOT as the headline: the headline follows the
+    # north rule's salted-repartition skew defusal
+    noshuffle_sec = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_rows = extract_turns(transcripts, salt=0).count()
+        noshuffle_sec = min(noshuffle_sec, time.perf_counter() - t0)
+        assert out_rows == n_turns
+
     # -- headline queries -------------------------------------------------
     # Warmup pass at the smallest sf first: the first pandas-UDF plan in a
     # session pays one-time python-worker/codegen costs (~10s) that are
@@ -146,6 +157,8 @@ def main() -> None:
                 "sf": sf,
                 "turns": n_turns,
                 "extract_sec": round(extract_sec, 3),
+                "extract_sec_noshuffle": round(noshuffle_sec, 3),
+                "turns_per_sec_noshuffle": round(n_turns / noshuffle_sec, 1),
                 "cpus": CPUS,
             }
         )

@@ -80,6 +80,20 @@ def main() -> None:
     )
 
     add(
+        "Extraction kernel, zero-shuffle fast path (salt=0, round 3)",
+        "NO Exchange anywhere: MapInArrow sits directly on the pruned "
+        "scan, so text bytes never leave their scan task.  Valid when "
+        "the input layout is byte-balanced (parquet/Iceberg scans are); "
+        "measured ~1.5x the salted path at sf0.1.  The salted default "
+        "remains for conv-clustered inputs, where the shuffle IS the "
+        "skew defusal.",
+        extract_turns(
+            tdisk.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            salt=0,
+        ),
+    )
+
+    add(
         "Column pruning / predicate pushdown into the scan",
         "PushedFilters carries the conv_id filter; ReadSchema is pruned to "
         "two columns — at 100 TB this is the difference between touching "

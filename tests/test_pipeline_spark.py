@@ -88,6 +88,15 @@ class TestByteEquality:
             for r in extracted.select("conv_id", "turn_idx", "extracted_text").collect()
         }
         assert a == b
+        # salt=0 (zero-shuffle fast path, kernel on scan partitions)
+        # must also be byte-identical
+        c = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in extract_turns(df, salt=0)
+            .select("conv_id", "turn_idx", "extracted_text")
+            .collect()
+        }
+        assert c == b
 
 
 class TestLineage:
