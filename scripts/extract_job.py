@@ -31,7 +31,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--wave-size", type=int, default=16)
-    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--salt", type=int, default=16,
+                    help="0 = zero-shuffle fast path (kernel on scan "
+                         "partitions; for byte-balanced input layouts); "
+                         ">0 = salted conv-hash repartition (skew defusal "
+                         "for conv-clustered inputs)")
     ap.add_argument("--skip-checkpoint", action="store_true",
                     help="single-shot extraction without bucket waves")
     ap.add_argument("--no-warmup", action="store_true")
