@@ -7,7 +7,11 @@ extraction throughput benchmark, then prints ONE JSON line:
 
   {"metric": "turns_extracted_per_sec", "value": <turns/sec>,
    "unit": "sec", "queries": {name: sec, ...}, "sf": <sf>,
-   "turns": N, "extract_sec": S}
+   "turns": N, "extract_sec": S,
+   "extract_sec_noshuffle": S0, "turns_per_sec_noshuffle": V0}
+
+``value`` follows the north rule's salted-repartition path;
+``*_noshuffle`` is the salt=0 fast path (kernel on scan partitions).
 
 The per-query seconds measure a full action (count) over each plan.
 """
