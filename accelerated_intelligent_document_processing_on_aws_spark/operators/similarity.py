@@ -290,3 +290,75 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
     hit = a.join(e, ["query_id", "vec_id"]).count()
     total = e.count()
     return hit / total if total else math.nan
+
+
+def train_centroids_distributed(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+    seed: int = 7,
+    init_sample: int = 4000,
+) -> list[list[float]]:
+    """Distributed Lloyd refinement: assignment and the per-cluster mean
+    run on the EXECUTORS (the full corpus participates), only the
+    O(C·dim) centroid model crosses the driver boundary per iteration —
+    the scale path past :func:`train_centroids`'s sample-only training
+    (whose model quality is capped by what a bounded sample sees).
+
+    Per iteration: nearest-centroid assignment is a Catalyst expression
+    over literal centroids (no UDF), the new means come from ONE
+    posexplode + (cluster, dim) aggregation — two shuffles total, both
+    over narrow (id/cluster, dim, value) rows, never over raw text.
+    Deterministic: hash-ordered init sample, stable tie-breaks."""
+    dim = len(corpus.select(vec_col).first()[0])
+    # deterministic init: md5-ordered sample (no RNG, reproducible)
+    init_rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("v").cast("string")))
+        .limit(max(n_centroids, min(init_sample, n_centroids * 250)))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init_rows[:n_centroids]]
+    base = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = base.withColumn("list_id", _nearest_centroid(F.col("v"), cents))
+        means = (
+            assigned.select("list_id", F.posexplode("v").alias("dim_idx", "val"))
+            .groupBy("list_id", "dim_idx")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep their centroid
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["list_id"], [0.0] * dim)[r["dim_idx"]] = r["m"]
+        for li, vec in acc.items():
+            new[li] = vec
+        cents = new
+    return cents
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q = round(x / scale) — 4× smaller at-rest vectors (the standard
+    storage/IO lever for billion-vector corpora; rerank still uses the
+    float column where precision matters).  Emits the quantized
+    ``array<tinyint>`` plus the per-vector ``scale`` needed to
+    dequantize.  Pure Catalyst array math, no UDF."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.withColumn("scale", scale).withColumn(
+        out_col,
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / F.col("scale")).cast("tinyint")
+        ),
+    )
+
+
+def dequantize_int8(q_col, scale_col) -> "F.Column":
+    """array<tinyint> + scale → array<double> (the read-side inverse)."""
+    return F.transform(q_col, lambda x: x.cast("double") * scale_col)

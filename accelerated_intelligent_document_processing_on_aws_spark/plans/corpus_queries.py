@@ -899,3 +899,54 @@ def decontaminate_train_docs(spark, sf_dir):
     bench = d.where(F.col("doc_id") % 97 == 0)
     train = d.where(F.col("doc_id") % 97 != 0)
     return dedup.decontaminate(train, bench, n=3)
+
+
+@q(
+    "embedding_int8_quantization",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, ROUND(scale, 9) AS scale,
+           list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS TINYINT)) AS q8,
+           ROUND(sqrt(list_sum(list_transform(
+             list_zip(embedding,
+                      list_transform(embedding,
+                        x -> ROUND(CAST(x AS DOUBLE) / scale) * scale)),
+             p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+             / len(embedding)), 6) AS rms_err
+    FROM s
+    """,
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (4× smaller vector
+    storage) with the round-trip RMS error surfaced — the oracle
+    recomputes scale, codes, and error bit-for-bit."""
+    from ..operators.similarity import dequantize_int8, quantize_embeddings_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(e)
+    deq = dequantize_int8(F.col("q8"), F.col("scale"))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                deq,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size("embedding")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        "q8",
+        F.round(err, 6).alias("rms_err"),
+    )

@@ -42,6 +42,7 @@ FRONT = [
     "pii_scrub_docs",
     "blocklist_fraction_docs",
     "decontaminate_train_docs",
+    "embedding_int8_quantization",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",

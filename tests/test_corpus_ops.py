@@ -603,3 +603,59 @@ class TestAsofNullTimestamps:
                 ).collect()
             }
             assert got == {1: 40.0, 2: None}, f"chunk={chunk}"
+
+
+class TestDistributedCentroids:
+    def test_distributed_kmeans_recall(self, spark):
+        """Distributed Lloyd must produce centroids at least as useful
+        as the sample-trained ones: IVF recall@5 over the fixture
+        embeddings stays above the suite's 0.5 bar."""
+        from pyspark.sql import functions as F
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            similarity as sim,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = sim.train_centroids_distributed(emb, n_centroids=8, iters=2)
+        assert len(cents) == 8 and len(cents[0]) == 64
+        qs = emb.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        approx = sim.ivf_topk(emb, qs, cents, k=5, nprobe=3)
+        exact = sim.brute_force_topk(emb, qs, k=5)
+        assert sim.recall_at_k(approx, exact, 5) >= 0.5
+
+    def test_deterministic(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            similarity as sim,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sim.train_centroids_distributed(emb, n_centroids=4, iters=1)
+        b = sim.train_centroids_distributed(emb, n_centroids=4, iters=1)
+        assert a == b
+
+
+class TestInt8Quantization:
+    def test_round_trip_error_bounded(self, spark):
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+            dequantize_int8,
+            quantize_embeddings_int8,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+        q = quantize_embeddings_int8(emb)
+        rows = q.select(
+            "embedding", "scale", "q8",
+            dequantize_int8(F.col("q8"), F.col("scale")).alias("deq"),
+        ).collect()
+        for r in rows:
+            orig = np.array(r["embedding"], dtype=np.float64)
+            deq = np.array(r["deq"])
+            assert np.all(np.abs(np.array(r["q8"], dtype=np.int64)) <= 127)
+            # symmetric quantization error bound: half a step
+            assert np.max(np.abs(orig - deq)) <= r["scale"] / 2 + 1e-12
