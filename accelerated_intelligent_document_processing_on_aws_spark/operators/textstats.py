@@ -298,3 +298,53 @@ def blocklist_fraction(
             ).alias("blocked_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF (smoothed idf =
+    ln((N+1)/(df+1)) + 1): one token explode, one (term) document-
+    frequency aggregate joined back, one (group, term) score aggregate,
+    window top-k with a deterministic term tiebreak — the standard
+    corpus-analysis rollup, all Catalyst."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda w: F.length(w) >= min_len,
+                )
+            )
+        ).alias("term"),
+    )
+    n_docs = docs.select(F.countDistinct(id_col)).first()[0]
+    df_counts = toks.groupBy("term").agg(
+        F.countDistinct("doc").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    scored = (
+        toks.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(df_counts, "term")
+        .select(
+            "grp",
+            "term",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tfidf", "rank")
+    )

@@ -950,3 +950,37 @@ def embedding_int8_quantization(spark, sf_dir):
         "q8",
         F.round(err, 6).alias("rms_err"),
     )
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT source AS grp, doc_id AS doc,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               w -> len(w) >= 3))) AS term
+      FROM documents
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfc AS (SELECT term, COUNT(DISTINCT doc) AS df FROM toks GROUP BY term),
+    scored AS (
+      SELECT t.grp, t.term,
+             ROUND(COUNT(*) * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)) + 1.0), 6)
+               AS tfidf
+      FROM toks t, n JOIN dfc d ON t.term = d.term
+      GROUP BY t.grp, t.term, d.df, n.n_docs
+    )
+    SELECT grp AS source, term, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY grp
+                   ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Top-5 characteristic terms per source feed by smoothed TF-IDF —
+    one explode, two aggregates, one window; ranking on rounded scores
+    with a term tiebreak keeps the cross-engine order stable."""
+    from ..operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))

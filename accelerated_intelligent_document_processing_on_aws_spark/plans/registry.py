@@ -43,6 +43,7 @@ FRONT = [
     "blocklist_fraction_docs",
     "decontaminate_train_docs",
     "embedding_int8_quantization",
+    "tfidf_top_terms",
     "section_text_events",
     "single_class_sections_events",
     "name_regex_fastpath",
