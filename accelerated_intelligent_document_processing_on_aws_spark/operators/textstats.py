@@ -327,15 +327,18 @@ def tfidf_top_terms(
             )
         ).alias("term"),
     )
-    n_docs = docs.select(F.countDistinct(id_col)).first()[0]
+    # corpus size joins in as a broadcast 1-row aggregate — keeps the
+    # query fully lazy (no driver action at plan-build time)
+    n_docs = F.broadcast(docs.agg(F.countDistinct(id_col).alias("_n_docs")))
     df_counts = toks.groupBy("term").agg(
         F.countDistinct("doc").alias("df")
     )
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    idf = F.log((F.col("_n_docs") + 1).cast("double") / (F.col("df") + 1)) + 1.0
     scored = (
         toks.groupBy("grp", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .join(df_counts, "term")
+        .crossJoin(n_docs)
         .select(
             "grp",
             "term",
