@@ -58,7 +58,11 @@ class _Block:
         self.boiler = boiler
 
     def text(self) -> str:
-        return _WS.sub(" ", "".join(self.parts)).strip()
+        # " ".join(split()) is byte-equivalent to _WS.sub(" ", s).strip()
+        # (verified over every codepoint: str.split() and \s agree on
+        # the whitespace set) and ~3× faster — this collapse is the
+        # single hottest string op on the 100 TB path.
+        return " ".join("".join(self.parts).split())
 
 
 # tag → (drop, boiler, block): ONE dict lookup in the hot handler
@@ -88,6 +92,7 @@ _FAST_TAG = re.compile(
 )
 _FAST_ATTR = re.compile(r"""(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|(\S+))""", re.IGNORECASE)
 _RAWTEXT = ("script", "style")
+_LC_TAG: dict = {}
 
 
 def _scan_blocks(html: str) -> list[_Block]:
@@ -128,8 +133,9 @@ def _scan_blocks(html: str) -> list[_Block]:
             if t == tag:
                 break
 
+    lc = _LC_TAG  # shared lowercase-tag memo (tag vocabulary is tiny)
     for m in _FAST_TAG.finditer(html):
-        lt = m.start()
+        lt, mend = m.span()
         if lt < pos:
             continue  # tag text inside a raw-text element already skipped
         if lt > pos and not drop_depth:
@@ -143,11 +149,15 @@ def _scan_blocks(html: str) -> list[_Block]:
                 cur.parts.append(data)
                 if link_depth:
                     cur.link_chars += len(data.strip())
-        pos = m.end()
+        pos = mend
         end_slash, name, blob, self_close = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/PI
             continue
-        tag = name.lower()
+        tag = lc.get(name)
+        if tag is None:
+            tag = name.lower()
+            if len(lc) < 4096:  # bound the memo on adversarial input
+                lc[name] = tag
         if end_slash:
             # well-nested fast path: the end tag matches the stack top —
             # handle inline (one pop) instead of the unwind-call; ~97%

@@ -96,3 +96,70 @@ def plain_spans(text: str) -> tuple[str, list[Span]]:
     if not t:
         return "", []
     return t, [(0, len(t), "text", PLAIN_CONF)]
+
+
+def _parse_blocks(payload: str) -> list[dict]:
+    """Parse a layout-block payload (JSON array of heterogeneous
+    records carrying a ``kind`` field) — the Python twin of the Spark
+    ``from_json`` lift in ``operators/layout_tables.py``."""
+    s = payload.lstrip()
+    if not s.startswith("["):
+        return []
+    try:
+        recs = json.loads(s)
+    except Exception:
+        return []
+    return [r for r in recs if isinstance(r, dict)]
+
+
+def extract_tables(payload: str) -> list[dict]:
+    """Lift table cells into the reference's ``Page.tables`` shape
+    (``lib/idp_common_pkg/idp_common/models.py:48``): a list of cell
+    dicts ``{table, row, col, text, conf}`` sorted row-major within
+    table id.  Non-cell records are ignored."""
+    cells = [
+        {
+            "table": int(r.get("table", 0) or 0),
+            "row": int(r.get("row", 0) or 0),
+            "col": int(r.get("col", 0) or 0),
+            "text": str(r.get("text", "")),
+            "conf": float(r.get("conf", 0.0) or 0.0),
+        }
+        for r in _parse_blocks(payload)
+        if r.get("kind") == "cell"
+    ]
+    cells.sort(key=lambda c: (c["table"], c["row"], c["col"], c["text"]))
+    return cells
+
+
+def extract_forms(payload: str) -> dict[str, str]:
+    """Lift key-value form fields into the reference's ``Page.forms``
+    shape (``models.py:49``): key → value with dict-update semantics
+    (later records overwrite earlier duplicates, matching the Spark
+    lift's last-position-wins window)."""
+    out: dict[str, str] = {}
+    for r in _parse_blocks(payload):
+        if r.get("kind") == "kv" and r.get("key") is not None:
+            out[str(r["key"])] = str(r.get("text", ""))
+    return out
+
+
+def tables_to_markdown(cells: list[dict]) -> dict[int, str]:
+    """Render lifted cells to a markdown grid per table id — the
+    Python twin of the reference's table render
+    (``ocr/document_converter.py:331``): header row, ``|---|``
+    separator, body rows."""
+    by_table: dict[int, list[dict]] = {}
+    for c in cells:
+        by_table.setdefault(c["table"], []).append(c)
+    out: dict[int, str] = {}
+    for tid, cs in by_table.items():
+        cs = sorted(cs, key=lambda c: (c["row"], c["col"], c["text"]))
+        rows: dict[int, list[str]] = {}
+        for c in cs:
+            rows.setdefault(c["row"], []).append(c["text"])
+        ncols = max(c["col"] for c in cs) + 1
+        lines = ["| " + " | ".join(rows[r]) + " |" for r in sorted(rows)]
+        sep = "|" + "---|" * ncols
+        out[tid] = "\n".join([lines[0], sep] + lines[1:])
+    return out

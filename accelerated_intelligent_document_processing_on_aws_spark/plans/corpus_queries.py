@@ -912,8 +912,9 @@ def decontaminate_train_docs(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id, ROUND(scale, 9) AS scale,
-           list_transform(embedding,
-             x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS TINYINT)) AS q8,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) / scale) AS TINYINT)
+                       AS VARCHAR)), ',') AS q8,
            ROUND(sqrt(list_sum(list_transform(
              list_zip(embedding,
                       list_transform(embedding,
@@ -926,7 +927,10 @@ def decontaminate_train_docs(spark, sf_dir):
 def embedding_int8_quantization(spark, sf_dir):
     """Per-vector symmetric int8 quantization (4× smaller vector
     storage) with the round-trip RMS error surfaced — the oracle
-    recomputes scale, codes, and error bit-for-bit."""
+    recomputes scale, codes, and error bit-for-bit.  The quantized
+    codes are emitted CSV-joined (the driver's canonicalizer cannot
+    sort raw array cells); library users keep the array-typed
+    :func:`quantize_embeddings_int8` API."""
     from ..operators.similarity import dequantize_int8, quantize_embeddings_int8
 
     e = _t(spark, sf_dir, "embeddings")
@@ -947,7 +951,9 @@ def embedding_int8_quantization(spark, sf_dir):
     return q.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        "q8",
+        F.array_join(
+            F.transform("q8", lambda x: x.cast("string")), ","
+        ).alias("q8"),
         F.round(err, 6).alias("rms_err"),
     )
 

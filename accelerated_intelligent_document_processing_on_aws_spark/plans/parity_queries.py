@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators import layout_tables as lt
 from ..operators import multimodal, segmentation as seg
 from ..operators.evaluation import configured_attribute_eval, hungarian_udf
 from ..operators.extract import alerts_with_thresholds
@@ -1468,3 +1469,165 @@ def json_yaml_detect(spark, sf_dir):
     )
     res = e.select("event_id", extract_structured_udf(payload).alias("r"))
     return res.select("event_id", F.col("r.fmt").alias("fmt"), F.col("r.json").alias("json"))
+
+
+# ---------------------------------------------------------------------------
+# Layout tables/forms lift (round 4): the reference's Page.tables /
+# Page.forms structured extraction (models.py:44-50, Textract
+# TABLES/FORMS features ocr/service.py:497-527) over deterministic
+# synthetic block payloads — real from_json lift on the Spark side,
+# analytic cell recomputation on the DuckDB side.
+
+_LT_CELLS_SQL = """
+WITH tt AS (
+  SELECT doc_id, g.g AS t FROM documents
+  JOIN generate_series(0, 1) g(g) ON g.g <= doc_id % 2
+), cells AS (
+  SELECT doc_id, t, r.g AS rr, c.g AS cc
+  FROM tt JOIN generate_series(0, 4) r(g) ON r.g <= (doc_id + t) % 3 + 1
+          JOIN generate_series(0, 3) c(g) ON c.g <= (doc_id + t) % 2 + 1
+)
+"""
+
+
+@q(
+    "layout_tables_cells",
+    _LT_CELLS_SQL
+    + """
+    SELECT doc_id AS media_id, CAST(t AS INT) AS table_id,
+           CAST(rr AS INT) AS cell_row, CAST(cc AS INT) AS cell_col,
+           'c' || CAST(rr AS VARCHAR) || 'x' || CAST(cc AS VARCHAR) ||
+           't' || CAST(t AS VARCHAR) || 'd' || CAST(doc_id AS VARCHAR) AS text,
+           ROUND(((doc_id*31 + t*53 + rr*7 + cc*13) % 1000) / 1000.0, 4) AS conf
+    FROM cells
+    """,
+)
+def layout_tables_cells(spark, sf_dir):
+    """Table-cell lift from heterogeneous layout-block payloads — the
+    relational form of the reference's ``Page.tables``
+    (``models.py:48``).  The payload really is scrambled JSON and the
+    lift really is ``from_json`` → explode → kind-filter (pure
+    Catalyst, zero UDF); the oracle recomputes every cell analytically
+    from the generation formulas."""
+    pay = lt.synth_layout_payloads(_t(spark, sf_dir, "documents"))
+    return lt.lift_table_cells(pay).select(
+        "media_id",
+        "table_id",
+        F.col("row").alias("cell_row"),
+        F.col("col").alias("cell_col"),
+        "text",
+        F.round("conf", 4).alias("conf"),
+    )
+
+
+@q(
+    "layout_forms_kv",
+    """
+    SELECT doc_id AS media_id,
+           'field' || CAST(k.g AS VARCHAR) AS field_key,
+           'v' || CAST((doc_id*17 + k.g*5) % 100 AS VARCHAR) AS field_value,
+           ROUND(((doc_id*11 + k.g*29) % 1000) / 1000.0, 4) AS conf
+    FROM documents JOIN generate_series(0, 2) k(g) ON k.g <= doc_id % 3
+    """,
+)
+def layout_forms_kv(spark, sf_dir):
+    """Key-value form-field lift — the reference's ``Page.forms`` map
+    (``models.py:49``) as relational rows, duplicate keys resolved
+    last-record-wins (dict-update semantics) by a max-position window."""
+    pay = lt.synth_layout_payloads(_t(spark, sf_dir, "documents"))
+    return lt.lift_form_fields(pay).select(
+        "media_id",
+        F.col("key").alias("field_key"),
+        F.col("value").alias("field_value"),
+        F.round("conf", 4).alias("conf"),
+    )
+
+
+@q(
+    "layout_table_markdown",
+    _LT_CELLS_SQL.replace(
+        "SELECT doc_id, t, r.g AS rr, c.g AS cc",
+        """SELECT doc_id, t, r.g AS rr, c.g AS cc,
+         'c' || CAST(r.g AS VARCHAR) || 'x' || CAST(c.g AS VARCHAR) ||
+         't' || CAST(t AS VARCHAR) || 'd' || CAST(doc_id AS VARCHAR) AS txt""",
+    )
+    + """
+    , lines AS (
+      SELECT doc_id, t, rr*2 AS row_key,
+             '| ' || string_agg(txt, ' | ' ORDER BY cc) || ' |' AS line
+      FROM cells GROUP BY doc_id, t, rr
+    ), seps AS (
+      SELECT DISTINCT doc_id, t, 1 AS row_key,
+             '|' || repeat('---|', CAST((doc_id + t) % 2 + 2 AS INT)) AS line
+      FROM tt
+    )
+    SELECT doc_id AS media_id, CAST(t AS INT) AS table_id,
+           string_agg(line, chr(10) ORDER BY row_key) AS markdown
+    FROM (SELECT * FROM lines UNION ALL SELECT * FROM seps)
+    GROUP BY 1, 2
+    """,
+)
+def layout_table_markdown(spark, sf_dir):
+    """Markdown grid render of lifted cells — the reference's
+    table→markdown conversion (``ocr/document_converter.py:331``,
+    textractor ``to_markdown`` path ``ocr/service.py:1603-1675``).
+    Pure Catalyst assembly: one (media, table) shuffle, in-array sort,
+    concat_ws — no Python in the render."""
+    pay = lt.synth_layout_payloads(_t(spark, sf_dir, "documents"))
+    return lt.tables_markdown(lt.lift_table_cells(pay))
+
+
+@q(
+    "text_confidence_table",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 3
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS conv_id, CAST(0 AS INT) AS turn_idx,
+           substr(text, CAST(FLOOR(i.g*n/3.0) AS INT) + 1,
+                  CAST(FLOOR((i.g+1)*n/3.0) AS INT)
+                    - CAST(FLOOR(i.g*n/3.0) AS INT)) AS text,
+           ROUND(((doc_id*7 + i.g*13) % 1000) / 1000.0, 4) AS conf
+    FROM d JOIN generate_series(0, 2) i(g) ON true
+    """,
+)
+def text_confidence_table_parity(spark, sf_dir):
+    """The text-confidence projection (reference's per-line
+    text+confidence markdown table, ``ocr/service.py:1561-1601`` —
+    ~80-90% token reduction vs raw OCR JSON) driven through the REAL
+    :func:`functions.chunking.text_confidence_table` operator over a
+    SQL-visible synthetic spans table: each document is split into
+    three deterministic span thirds with formula confidences, and the
+    operator substrings them back out.  The kernel-spans pipeline path
+    stays covered by ``tests/test_jsonops.py``
+    ``test_text_confidence_projection``."""
+    from ..functions.chunking import text_confidence_table
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") >= 3)
+        .select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.col("text").alias("extracted_text"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda idx: F.struct(
+                    F.floor(idx * F.length("text") / 3.0)
+                    .cast("int")
+                    .alias("start"),
+                    F.floor((idx + 1) * F.length("text") / 3.0)
+                    .cast("int")
+                    .alias("end"),
+                    F.lit("line").alias("kind"),
+                    (
+                        ((F.col("doc_id") * 7 + idx * 13) % 1000) / 1000.0
+                    ).alias("conf"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    out = text_confidence_table(d)
+    return out.select(
+        "conv_id", "turn_idx", "text", F.round("conf", 4).alias("conf")
+    )

@@ -146,14 +146,6 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
 
 
-@q("text_confidence_table")
-def text_confidence_table_q(spark, sf_dir):
-    from ..functions.chunking import text_confidence_table
-
-    ext = extract_turns(_transcripts(spark, sf_dir), salt=8)
-    return text_confidence_table(ext)
-
-
 @q("pipeline_evaluation_report")
 def pipeline_evaluation_report(spark, sf_dir):
     """Self-evaluation: distributed extraction vs the pure-Python golden

@@ -20,58 +20,65 @@ from . import analytics, corpus_queries, parity_queries, pipeline_queries
 # (registry positions >= 50 in rounds 1-2), plus everything new this
 # round.  These MUST occupy positions 0..len(FRONT)-1.
 FRONT = [
-    # flagship: BIO gaps-and-islands segmentation (round-1 ask #1)
-    "sections_bio_events",
-    # round-3 additions
-    "image_decode_stats",
-    "semantic_cosine_eval",
-    "eval_rollup_docs",
-    "split_eval_metrics",
-    "page_classification_accuracy_events",
-    "payload_kind_sniff",
-    "asof_join_events_chunked",
-    "audio_decode_stats",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "zorder_keys",
-    "percentile_scores",
-    "session_window_agg",
-    "variant_props_rollup",
-    "gopher_quality_flags",
-    "repetition_stats_docs",
-    "pii_scrub_docs",
-    "blocklist_fraction_docs",
-    "decontaminate_train_docs",
+    # round-4 slot 0: the one red row of round 3 (array<tinyint> column
+    # crashed the driver canonicalizer; now CSV-stringified both sides)
     "embedding_int8_quantization",
-    "tfidf_top_terms",
-    "section_text_events",
-    "single_class_sections_events",
-    "name_regex_fastpath",
-    "limited_vote_propagate",
-    "sections_page_events",
-    "asof_join_events",
-    "range_join_windows",
-    "alerts_per_class_threshold",
-    "stickler_config_eval",
-    "judge_rule_cascade",
-    "hungarian_list_compare",
-    "hash_split_conversations",
-    "stratified_hash_sample",
-    "pack_token_windows",
-    "near_dup_clusters",
-    "training_data_pipeline",
-    "multimodal_features",
-    "excel_sheet_pages",
-    "word_elements_docs",
-    "string_to_list_coercion",
-    "empty_schema_skip",
-    "flatten_dot_notation",
-    "discover_class_attributes",
-    "json_repair_ragged",
-    "json_yaml_detect",
-    "paginate_lines",
-    "rule_validation_summary",
-    "curation_pipeline_stats",
+    # round-4 additions: layout tables/forms lift + text-confidence
+    # parity twin (verdict items 5 and 7)
+    "layout_tables_cells",
+    "layout_forms_kv",
+    "layout_table_markdown",
+    "text_confidence_table",
+    # --- regression re-verification (verdict item 2): every remaining
+    # query already has a green row, but the evidence below predates the
+    # round-3 rewrites of its implementation files — ordered
+    # most-rewritten-first (dedup/similarity/textstats/evaluation/
+    # json_extract, then the analytics tuning), oldest-evidence-first.
+    "dedup_exact_groups",
+    "ngram_jaccard_block_pairs",
+    "ann_bruteforce_topk",
+    "embedding_cosine_pairs",
+    "token_counts",
+    "lang_id_pred",
+    "quality_scores",
+    "fingerprint_md5_docs",
+    "kgram_min_fingerprint_docs",
+    "compare_exact_normalized",
+    "compare_numeric_currency",
+    "evaluation_prf_metrics",
+    "fuzzy_levenshtein_pairs",
+    "json_extract_field",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q17_small_quantity",
+    "rollup_sales",
+    "cube_order_stats",
+    "star_join_regional_sales",
+    "supplier_lineitem_rollup",
+    "topk_customers_by_spend",
+    "union_shards",
+    "join_avg_by_segment",
+    "gaps_islands_sessions",
+    "sessionize_time_gap",
+    "price_vs_global_avg",
+    "agg_discipline_max_per_doc",
+    "conditional_agg_pivot",
+    "confidence_band_accuracy",
+    "count_distinct_filtered",
+    "date_functions",
+    "string_functions",
+    "ratio_by_priority",
+    "semi_join_active",
+    "sum_by_context",
+    "cost_model_broadcast",
+    "anti_join_resume",
+    "sequence_explode_ranges",
+    "majority_vote_mode",
+    "min_normalized_index",
 ]
 
 _ALL: dict = {}
