@@ -1145,3 +1145,384 @@ def variant_props_rollup(spark, sf_dir):
             F.max(k).cast("int").alias("k_max"),
         )
     )
+
+
+# ===========================================================================
+# Round-4 battery: the remaining TPC-H shapes expressible over this fixture
+# star schema (no partsupp / shipmode / commitdate columns exist, so each
+# query keeps the SHAPE — the join/agg/subquery structure Catalyst must
+# optimize — with predicates restated over available columns), plus sketch
+# and grouping-set surfaces.
+# ===========================================================================
+
+
+# -- TPC-H Q4 shape: EXISTS against the detail table → semi join ------------
+@q(
+    "q4_priority_late_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_late_exists(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join).  The
+    correlated ship-after-order predicate rides INTO the join condition
+    so the semi join dedupes per order before the aggregate — at scale
+    the semi join shuffles (orderkey, orderdate) only, never the full
+    lineitem row, and the agg is a 5-group map-side combine."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# -- TPC-H Q6 shape: pure scan-side filter + single-row aggregate -----------
+@q(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate is scan-pushable (shipdate range
+    + discount band + quantity cap), then ONE partial+final aggregate —
+    zero shuffle beyond the single-row exchange.  The canonical 'does
+    the filter reach the parquet scan' probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# -- TPC-H Q12 shape: join + CASE bucket aggregate --------------------------
+@q(
+    "q12_returnflag_case_buckets",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_returnflag_case_buckets(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → returnflag): detail-side filter
+    first, one orderkey join, CASE buckets fold into two conditional
+    sums in a single 3-group aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+# -- TPC-H Q13 shape: outer join + count, then a distribution ----------------
+@q(
+    "q13_custdist",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: the filtered predicate lives IN the outer-join
+    condition (customers with zero qualifying orders must still appear
+    with c_count=0), then a second tiny aggregate over the counts.
+    At scale: orders pre-aggregates per custkey BEFORE the outer join
+    (count-then-join beats join-then-count — the join input shrinks
+    from |orders| to |custkeys|), and the distribution agg is a
+    few-hundred-group map-side combine."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+    )
+
+
+# -- TPC-H Q15 shape: aggregate, then join back to its own max ---------------
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS total_rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_e4 = (SELECT MAX(total_rev_e4) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (view + max-of-aggregate): revenue per supplier
+    computed ONCE, the scalar max broadcast back against it (no
+    re-aggregation), supplier dim broadcast.  Revenue is summed in
+    exact integer ten-thousandths (the q7 pattern) so the max
+    comparison and the hash are float-order-proof."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("bigint")
+        ).alias("total_rev_e4")
+    )
+    mx = rev.agg(F.max("total_rev_e4").alias("_mx"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_e4") == F.col("_mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_e4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+# -- TPC-H Q19 shape: disjunction of conjunctive blocks over a dim join ------
+@q(
+    "q19_disjunctive_predicates",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-AND blocks mixing both join sides.  The
+    part-only disjunct (brand+size) is pre-applied to the broadcast dim
+    — Catalyst can't split a mixed OR across the join itself, so the
+    manual dim prefilter is the scale lever (part shrinks before
+    broadcast; the residual mixed predicate runs post-join)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    dim_ok = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    full = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p.where(dim_ok)), li.l_partkey == F.col("p_partkey"))
+        .where(full)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+# -- TPC-H Q22 shape: scalar avg subquery + anti join + substring buckets ----
+@q(
+    "q22_idle_customers",
+    """
+    SELECT SUBSTR(c.c_name, LENGTH(c.c_name), 1) AS name_bucket,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY SUBSTR(c.c_name, LENGTH(c.c_name), 1)
+    """,
+)
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: broadcast scalar average (positive balances
+    only), NOT EXISTS as a left-anti join against DISTINCT custkeys
+    (the distinct shrinks the anti probe from |orders| rows to
+    |custkeys|), then a ~10-group bucket aggregate on a name
+    suffix."""
+    c = _t(spark, sf_dir, "customer")
+    avg_pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    ordered = (
+        _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(ordered, c.c_custkey == ordered.o_custkey, "left_anti")
+        .groupBy(
+            F.substring(F.col("c_name"), -1, 1).alias("name_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# -- HLL sketch surface: approx distinct with a verifiable error bound -------
+@q(
+    "approx_distinct_hll",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_distinct_hll(spark, sf_dir):
+    """HLL++ approximate distinct (``approx_count_distinct``, rsd=0.01)
+    checked against the exact count in the same plan.  The sketch is
+    the 100 TB path: mergeable fixed-size state, no per-group hash set
+    — COUNT(DISTINCT) at 10^12 rows shuffles every distinct value,
+    HLL++ shuffles 2^p registers per group.  The oracle pins the exact
+    count; ``approx_ok`` (|approx−exact| ≤ max(3, 2%·exact)) makes the
+    sketch's error bound itself the checked value."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs"))
+                <= F.greatest(F.lit(3.0), 0.02 * F.col("exact_custs"))
+            ).alias("approx_ok"),
+        )
+    )
+
+
+# -- GROUPING SETS with grouping_id (beyond rollup/cube) ---------------------
+@q(
+    "grouping_sets_metrics",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>')   AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+)
+def grouping_sets_metrics(spark, sf_dir):
+    """Explicit GROUPING SETS (a non-prefix set rollup/cube can't
+    express: (status,priority), (priority), ()) with ``grouping_id``
+    disambiguating NULL-as-all from NULL-as-value.  One Expand + one
+    aggregate — the same single-shuffle plan as rollup."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -23,6 +23,17 @@ FRONT = [
     # round-4 slot 0: the one red row of round 3 (array<tinyint> column
     # crashed the driver canonicalizer; now CSV-stringified both sides)
     "embedding_int8_quantization",
+    # round-4 battery: remaining TPC-H shapes over this fixture schema,
+    # HLL sketch with a checked error bound, explicit GROUPING SETS
+    "q4_priority_late_exists",
+    "q6_forecast_revenue",
+    "q12_returnflag_case_buckets",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "approx_distinct_hll",
+    "grouping_sets_metrics",
     # round-4 additions: layout tables/forms lift + text-confidence
     # parity twin (verdict items 5 and 7)
     "layout_tables_cells",
