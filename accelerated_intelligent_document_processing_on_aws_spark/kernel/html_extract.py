@@ -92,19 +92,24 @@ _FAST_TAG = re.compile(
 )
 _FAST_ATTR = re.compile(r"""(class|id)\s*=\s*(?:"([^"]*)"|'([^']*)'|(\S+))""", re.IGNORECASE)
 _RAWTEXT = ("script", "style")
-_LC_TAG: dict = {}
+# raw-tag-name memo: name-as-written → (tag, drop, boiler, block, entry)
+# where entry is the premade stack tuple (tag, boiler, drop, block) for
+# the no-attr-hint case — ONE dict probe per tag event replaces the
+# lowercase memo + tag-class lookup + per-tag tuple allocation.
+_TAG_META: dict = {}
 
 
-def _scan_blocks(html: str) -> list[_Block]:
-    """Single fused pass: regex tokenizer + block builder.
+def _scan_blocks_ref(html: str) -> list[_Block]:
+    """Reference tokenizer: single fused regex pass + block builder.
 
     One ``finditer`` loop; inter-match slices are data (an unmatched '<'
     stays inside its data slice — output is concatenation-equivalent,
     and entities never span a '<' so per-slice unescape is unaffected).
-    Tokenizer and handler were separate (callback per tag event) through
-    round 2; fusing them into local-variable state removes two Python
-    calls per tag on the 100 TB hot path.  Block semantics are pinned by
-    the kernel snapshot test (tests/test_kernel.py)."""
+    This is the SEMANTIC DEFINITION of the scan; :func:`_scan_blocks`
+    is the find-dispatch fast twin, gated by an equivalence test
+    (tests/test_tokenizer_equiv.py) on fixture + adversarial + random
+    inputs.  Block semantics are pinned by the kernel snapshot test
+    (tests/test_kernel.py)."""
     blocks: list[_Block] = []
     drop_depth = boiler_depth = link_depth = 0
     cur: _Block | None = None
@@ -119,7 +124,7 @@ def _scan_blocks(html: str) -> list[_Block]:
         nonlocal drop_depth, boiler_depth, link_depth, cur
         # unwind to the matching open tag (HTML is forgiving)
         while stack:
-            t, b, d = stack.pop()
+            t, b, d, blk = stack.pop()
             if d:
                 if drop_depth:
                     drop_depth -= 1
@@ -128,12 +133,12 @@ def _scan_blocks(html: str) -> list[_Block]:
                     boiler_depth -= 1
                 if t == "a" and link_depth:
                     link_depth -= 1
-                if t in _BLOCK_TAGS:
+                if blk:
                     cur = None
             if t == tag:
                 break
 
-    lc = _LC_TAG  # shared lowercase-tag memo (tag vocabulary is tiny)
+    tm = _TAG_META  # shared raw-name memo (tag vocabulary is tiny)
     for m in _FAST_TAG.finditer(html):
         lt, mend = m.span()
         if lt < pos:
@@ -153,17 +158,20 @@ def _scan_blocks(html: str) -> list[_Block]:
         end_slash, name, blob, self_close = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/PI
             continue
-        tag = lc.get(name)
-        if tag is None:
+        meta = tm.get(name)
+        if meta is None:
             tag = name.lower()
-            if len(lc) < 4096:  # bound the memo on adversarial input
-                lc[name] = tag
+            drop, boiler0, block = tag_info(tag, _NO_INFO)
+            meta = (tag, drop, boiler0, block, (tag, boiler0, drop, block))
+            if len(tm) < 4096:  # bound the memo on adversarial input
+                tm[name] = meta
         if end_slash:
+            tag = meta[0]
             # well-nested fast path: the end tag matches the stack top —
             # handle inline (one pop) instead of the unwind-call; ~97%
             # of end tags in real HTML take this branch
             if stack and stack[-1][0] == tag:
-                t, b, d = stack.pop()
+                t, b, d, blk = stack.pop()
                 if d:
                     if drop_depth:
                         drop_depth -= 1
@@ -172,12 +180,12 @@ def _scan_blocks(html: str) -> list[_Block]:
                         boiler_depth -= 1
                     if t == "a" and link_depth:
                         link_depth -= 1
-                    if t in _BLOCK_TAGS:
+                    if blk:
                         cur = None
             else:
                 _end(tag)
             continue
-        drop, boiler, block = tag_info(tag, _NO_INFO)
+        tag, drop, boiler, block, entry = meta
         if (
             blob
             and not boiler
@@ -187,9 +195,10 @@ def _scan_blocks(html: str) -> list[_Block]:
                 (am.group(2) or am.group(3) or am.group(4) or "")
                 for am in _FAST_ATTR.finditer(blob)
             )
-            if attr_text:
-                boiler = bool(_BOILERPLATE_HINT.search(attr_text))
-        stack.append((tag, boiler, drop))
+            if attr_text and _BOILERPLATE_HINT.search(attr_text):
+                boiler = True
+                entry = (tag, True, drop, block)
+        stack.append(entry)
         if drop:
             drop_depth += 1
         else:
@@ -217,6 +226,290 @@ def _scan_blocks(html: str) -> list[_Block]:
             gt = html.find(">", close)
             _end(tag)
             pos = n if gt < 0 else gt + 1
+    if pos < n and not drop_depth:
+        data = html[pos:]
+        if "&" in data:
+            data = unescape(data)
+        if data:
+            if cur is None:
+                cur = _Block("p", boiler_depth > 0)
+                blocks.append(cur)
+            cur.parts.append(data)
+            if link_depth:
+                cur.link_chars += len(data.strip())
+    return blocks
+
+
+# Anchored helpers for the find-dispatch tokenizer: the tag alternative
+# of _FAST_TAG (for slow paths) and the comment/doctype/PI alternatives.
+_CAREFUL_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"
+    r"(/?)>",
+    re.DOTALL,
+)
+_MISC_TAG = re.compile(r"<(?:!--.*?-->|![^>]*>|\?[^>]*>)", re.DOTALL)
+_PURE_NAME = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*\Z")
+_NAME_PREFIX = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
+# full-slice open-tag memo: '<'+slice+'>' → the COMPLETE open decision
+# (tag, drop, boiler-with-attr-hint, block, stack entry, self_close).
+# Real corpora repeat a small set of templated tags (class attrs
+# included), so repeated opens collapse to one dict probe — the attr
+# regex and boilerplate-hint search run once per distinct tag string.
+_OPEN_MEMO: dict = {}
+
+
+def _scan_blocks(html: str) -> list[_Block]:
+    """Find-dispatch tokenizer: byte-equivalent fast twin of
+    :func:`_scan_blocks_ref`.
+
+    ``str.find('<')`` locates each candidate token and one character
+    dispatches it; the common cases — ``</name>`` end tags and
+    ``<name>`` / ``<name attrs>`` opens without quoted attributes —
+    run on C-level ``find``/slice/dict-get with ZERO regex match
+    objects.  Quoted-attribute opens, end tags with junk, comments,
+    doctypes and PIs fall back to anchored regexes with exactly the
+    reference grammar (a quoted '>' extends the tag; an unterminated
+    quote or missing '>' voids it, leaving '<' as data).  Equivalence
+    with the reference tokenizer is CI-gated over the fixture corpus,
+    adversarial cases, and random tag soup
+    (tests/test_tokenizer_equiv.py)."""
+    blocks: list[_Block] = []
+    drop_depth = boiler_depth = link_depth = 0
+    cur: _Block | None = None
+    stack: list[tuple] = []
+    pos = 0
+    scan = 0
+    n = len(html)
+    lowered = None
+    unescape = _html_mod.unescape
+    tag_info = _TAG_INFO.get
+    find = html.find
+
+    def _end(tag: str) -> None:
+        nonlocal drop_depth, boiler_depth, link_depth, cur
+        while stack:
+            t, b, d, blk = stack.pop()
+            if d:
+                if drop_depth:
+                    drop_depth -= 1
+            else:
+                if b and boiler_depth:
+                    boiler_depth -= 1
+                if t == "a" and link_depth:
+                    link_depth -= 1
+                if blk:
+                    cur = None
+            if t == tag:
+                break
+
+    tm = _TAG_META
+    while True:
+        lt = find("<", scan)
+        if lt < 0:
+            break
+        nc = html[lt + 1 : lt + 2]
+        if nc == "/":
+            # ---- end tag ------------------------------------------------
+            gt = find(">", lt + 2)
+            if gt < 0:
+                scan = lt + 1
+                continue
+            nm = html[lt + 2 : gt]
+            meta = tm.get(nm)
+            if meta is None:
+                if _PURE_NAME.match(nm):
+                    tag = nm.lower()
+                    drop, boiler, block = tag_info(tag, _NO_INFO)
+                    meta = (tag, drop, boiler, block, (tag, boiler, drop, block))
+                    if len(tm) < 4096:
+                        tm[nm] = meta
+                else:
+                    # junk / quoted end tag: full grammar decides (a
+                    # quoted '>' extends it; unterminated → not a tag)
+                    m = _CAREFUL_TAG.match(html, lt)
+                    if m is None:
+                        scan = lt + 1
+                        continue
+                    nm2 = m.group(2)
+                    meta2 = tm.get(nm2)
+                    if meta2 is None:
+                        tag = nm2.lower()
+                        drop, boiler, block = tag_info(tag, _NO_INFO)
+                        meta2 = (tag, drop, boiler, block, (tag, boiler, drop, block))
+                        if len(tm) < 4096:
+                            tm[nm2] = meta2
+                    if lt > pos and not drop_depth:
+                        data = html[pos:lt]
+                        if "&" in data:
+                            data = unescape(data)
+                        if data:
+                            if cur is None:
+                                cur = _Block("p", boiler_depth > 0)
+                                blocks.append(cur)
+                            cur.parts.append(data)
+                            if link_depth:
+                                cur.link_chars += len(data.strip())
+                    pos = scan = m.end()
+                    _end(meta2[0])
+                    continue
+            if lt > pos and not drop_depth:
+                data = html[pos:lt]
+                if "&" in data:
+                    data = unescape(data)
+                if data:
+                    if cur is None:
+                        cur = _Block("p", boiler_depth > 0)
+                        blocks.append(cur)
+                    cur.parts.append(data)
+                    if link_depth:
+                        cur.link_chars += len(data.strip())
+            pos = scan = gt + 1
+            tag = meta[0]
+            if stack and stack[-1][0] == tag:
+                t, b, d, blk = stack.pop()
+                if d:
+                    if drop_depth:
+                        drop_depth -= 1
+                else:
+                    if b and boiler_depth:
+                        boiler_depth -= 1
+                    if t == "a" and link_depth:
+                        link_depth -= 1
+                    if blk:
+                        cur = None
+            else:
+                _end(tag)
+            continue
+        if ("a" <= nc <= "z") or ("A" <= nc <= "Z"):
+            # ---- open tag -----------------------------------------------
+            gt = find(">", lt + 1)
+            if gt < 0:
+                scan = lt + 1
+                continue
+            sl = html[lt + 1 : gt]
+            om = _OPEN_MEMO.get(sl)
+            if om is None:
+                tag_end = gt + 1
+                memoizable = True
+                if '"' in sl or "'" in sl:
+                    # balanced same-kind quotes cannot hide a '>' (sl has
+                    # none) nor dangle open, so the slice IS the tag
+                    if "'" not in sl and sl.count('"') % 2 == 0:
+                        pass
+                    elif '"' not in sl and sl.count("'") % 2 == 0:
+                        pass
+                    else:
+                        # mixed/odd quotes: full grammar decides (a quoted
+                        # '>' extends the tag; unterminated quote voids it)
+                        m = _CAREFUL_TAG.match(html, lt)
+                        if m is None:
+                            scan = lt + 1
+                            continue
+                        memoizable = False
+                        name, blob, sc = m.group(2, 3, 4)
+                        self_close = bool(sc)
+                        tag_end = m.end()
+                if memoizable:
+                    m2 = _NAME_PREFIX.match(sl)  # sl[0] is alpha: matches
+                    name = m2.group()
+                    rest = sl[m2.end() :]
+                    if rest.endswith("/"):
+                        self_close = True
+                        blob = rest[:-1]
+                    else:
+                        self_close = False
+                        blob = rest
+                meta = tm.get(name)
+                if meta is None:
+                    tag = name.lower()
+                    drop, boiler, block = tag_info(tag, _NO_INFO)
+                    meta = (tag, drop, boiler, block, (tag, boiler, drop, block))
+                    if len(tm) < 4096:
+                        tm[name] = meta
+                tag, drop, boiler, block, entry = meta
+                if (
+                    blob
+                    and not boiler
+                    and (
+                        "class" in blob
+                        or "id" in blob
+                        or "ID" in blob
+                        or "CLASS" in blob
+                    )
+                ):
+                    attr_text = " ".join(
+                        (am.group(2) or am.group(3) or am.group(4) or "")
+                        for am in _FAST_ATTR.finditer(blob)
+                    )
+                    if attr_text and _BOILERPLATE_HINT.search(attr_text):
+                        boiler = True
+                        entry = (tag, True, drop, block)
+                if memoizable and len(_OPEN_MEMO) < 4096:
+                    _OPEN_MEMO[sl] = (tag, drop, boiler, block, entry, self_close)
+            else:
+                tag, drop, boiler, block, entry, self_close = om
+                tag_end = gt + 1
+            if lt > pos and not drop_depth:
+                data = html[pos:lt]
+                if "&" in data:
+                    data = unescape(data)
+                if data:
+                    if cur is None:
+                        cur = _Block("p", boiler_depth > 0)
+                        blocks.append(cur)
+                    cur.parts.append(data)
+                    if link_depth:
+                        cur.link_chars += len(data.strip())
+            pos = scan = tag_end
+            stack.append(entry)
+            if drop:
+                drop_depth += 1
+            else:
+                if boiler:
+                    boiler_depth += 1
+                if tag == "a":
+                    link_depth += 1
+                if block:
+                    if tag == "br":
+                        cur = None
+                    else:
+                        cur = _Block(tag, boiler_depth > 0)
+                        blocks.append(cur)
+                elif cur is not None:
+                    cur.n_elems += 1
+            if self_close:
+                _end(tag)
+            elif tag in _RAWTEXT:
+                if lowered is None:
+                    lowered = html.lower()
+                close = lowered.find(f"</{tag}", pos)
+                if close < 0:
+                    return blocks  # unterminated raw-text: drop the tail
+                gt2 = find(">", close)
+                _end(tag)
+                pos = scan = n if gt2 < 0 else gt2 + 1
+            continue
+        if nc == "!" or nc == "?":
+            # ---- comment / doctype / PI ---------------------------------
+            m = _MISC_TAG.match(html, lt)
+            if m is None:
+                scan = lt + 1
+                continue
+            if lt > pos and not drop_depth:
+                data = html[pos:lt]
+                if "&" in data:
+                    data = unescape(data)
+                if data:
+                    if cur is None:
+                        cur = _Block("p", boiler_depth > 0)
+                        blocks.append(cur)
+                    cur.parts.append(data)
+                    if link_depth:
+                        cur.link_chars += len(data.strip())
+            pos = scan = m.end()
+            continue
+        scan = lt + 1  # '<' followed by junk: stays in the data run
     if pos < n and not drop_depth:
         data = html[pos:]
         if "&" in data:

@@ -34,10 +34,13 @@ def sniff_payload_kind(text: str) -> str:
     return KIND_PLAIN
 
 
-def extract_turn(text: str, role: str, tool: str | None) -> dict:
-    """Extract one turn.  Returns a plain dict with keys
-    ``extracted_text, spans, classification, boundary, confidence, payload_kind``.
-    """
+def extract_turn_raw(
+    text: str, role: str, tool: str | None
+) -> tuple[str, list[Span], str, str, float, str]:
+    """Extract one turn, spans as raw ``(start, end, kind, conf)``
+    tuples.  Hot-path form: the Arrow batch builder consumes the tuples
+    directly into flat struct arrays, so no per-span dict is ever
+    built.  :func:`extract_turn` is the dict-shaped wrapper."""
     text = text or ""
     kind = sniff_payload_kind(text)
     if kind == KIND_HTML:
@@ -48,6 +51,14 @@ def extract_turn(text: str, role: str, tool: str | None) -> dict:
         extracted, spans = plain_spans(text)
     cls, boundary = classify_turn(extracted, role, tool)
     conf = score_confidence(extracted, spans)
+    return extracted, spans, cls, boundary, conf, kind
+
+
+def extract_turn(text: str, role: str, tool: str | None) -> dict:
+    """Extract one turn.  Returns a plain dict with keys
+    ``extracted_text, spans, classification, boundary, confidence, payload_kind``.
+    """
+    extracted, spans, cls, boundary, conf, kind = extract_turn_raw(text, role, tool)
     return {
         "extracted_text": extracted,
         "spans": [

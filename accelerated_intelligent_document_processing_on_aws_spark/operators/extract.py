@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernel.oracle import extract_turn
+from ..kernel.oracle import extract_turn, extract_turn_raw
 
 SPAN_TYPE = T.ArrayType(
     T.StructType(
@@ -120,16 +120,6 @@ def _kernel_batches_arrow(batches):
     round-trip (list-of-dict spans are the expensive part)."""
     import pyarrow as pa
 
-    span_t = pa.list_(
-        pa.struct(
-            [
-                ("start", pa.int32()),
-                ("end", pa.int32()),
-                ("kind", pa.string()),
-                ("conf", pa.float64()),
-            ]
-        )
-    )
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     for batch in batches:
@@ -143,19 +133,44 @@ def _kernel_batches_arrow(batches):
         roles = col["role"].to_pylist()
         tools = col["tool"].to_pylist()
         ex_text: list[str] = []
-        ex_spans: list[list[dict]] = []
         ex_cls: list[str] = []
         ex_bnd: list[str] = []
         ex_conf: list[float] = []
         ex_kind: list[str] = []
+        # spans flattened: offsets into four flat component lists — the
+        # ListArray is assembled columnar-native below, no per-span dict
+        offsets: list[int] = [0]
+        s_start: list[int] = []
+        s_end: list[int] = []
+        s_kind: list[str] = []
+        s_conf: list[float] = []
         for i in range(n):
-            r = extract_turn(texts[i], roles[i], tools[i])
-            ex_text.append(r["extracted_text"])
-            ex_spans.append(r["spans"])
-            ex_cls.append(r["classification"])
-            ex_bnd.append(r["boundary"])
-            ex_conf.append(r["confidence"])
-            ex_kind.append(r["payload_kind"])
+            extracted, spans, cls, bnd, conf, kind = extract_turn_raw(
+                texts[i], roles[i], tools[i]
+            )
+            ex_text.append(extracted)
+            ex_cls.append(cls)
+            ex_bnd.append(bnd)
+            ex_conf.append(conf)
+            ex_kind.append(kind)
+            for s, e, k, c in spans:
+                s_start.append(s)
+                s_end.append(e)
+                s_kind.append(k)
+                s_conf.append(c)
+            offsets.append(len(s_start))
+        span_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(s_start, pa.int32()),
+                    pa.array(s_end, pa.int32()),
+                    pa.array(s_kind, pa.string()),
+                    pa.array(s_conf, pa.float64()),
+                ],
+                names=["start", "end", "kind", "conf"],
+            ),
+        )
         row_ms = (time.perf_counter() - t0) * 1000.0 / n
         yield pa.RecordBatch.from_arrays(
             [
@@ -166,7 +181,7 @@ def _kernel_batches_arrow(batches):
                 col["ts"],
                 pa.array(ex_kind, pa.string()),
                 pa.array(ex_text, pa.string()),
-                pa.array(ex_spans, span_t),
+                span_arr,
                 pa.array(ex_cls, pa.string()),
                 pa.array(ex_bnd, pa.string()),
                 pa.array(ex_conf, pa.float64()),

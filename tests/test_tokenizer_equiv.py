@@ -1,0 +1,94 @@
+"""Equivalence gate: the find-dispatch HTML tokenizer must produce
+byte-identical blocks to the reference regex tokenizer on every input
+class — fixture corpus, adversarial tag soup, and random strings.
+`_scan_blocks_ref` is the semantic definition; `_scan_blocks` is the
+hot-path twin the Spark kernel actually runs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from accelerated_intelligent_document_processing_on_aws_spark.fixtures.transcripts import (
+    generate_transcripts,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.kernel.html_extract import (
+    _scan_blocks,
+    _scan_blocks_ref,
+)
+
+
+def _digest(blocks):
+    return [
+        (b.tag, b.text(), b.link_chars, b.n_elems, b.boiler) for b in blocks
+    ]
+
+
+def assert_equiv(payload: str) -> None:
+    assert _digest(_scan_blocks(payload)) == _digest(_scan_blocks_ref(payload)), (
+        payload[:300]
+    )
+
+
+ADVERSARIAL = [
+    "",
+    "plain text no tags",
+    "<p>hello</p>",
+    "<div class=\"x > y\">quoted gt extends the tag</div>",
+    "<div class=\"unterminated quote voids the tag",
+    "<div class='single > quoted'>x</div>",
+    "<p>a & b &amp; c</p>",
+    "<a href=x>link text</a> tail",
+    "<A HREF=X>upper link</A>",
+    "<!-- comment with > inside -->after",
+    "<!-- unterminated comment with a later > char",
+    "<!-- never closed at all",
+    "<!DOCTYPE html><p>x</p>",
+    "<?php echo '>' ?><p>x</p>",
+    "<p>before<<div>double lt</div>",
+    "< notatag>still data</p>",
+    "<a=b>name stops at equals</a=b>",
+    "</div junk blob>after junk end",
+    "</div/>self-closing end tag",
+    "</>empty end",
+    "<br>line<br/>another",
+    "<div/>self closed block",
+    "<script>var x = '<p>not a tag</p>';</script><p>real</p>",
+    "<script src='x'>unterminated raw text <p>dropped",
+    "<style>p { color: red; }</style><p>kept</p>",
+    "<scriptxyz>not script</scriptxyz>",
+    "<p>ends with lt <",
+    "<p>ends with tag start <di",
+    "<nav><a href=x>menu</a></nav><p>main content here ok</p>",
+    "<div id=sidebar>boiler</div><p>content paragraph here</p>",
+    "<div CLASS=ad>caps attr</div>",
+    "<td colspan=2>unquoted attr</td>",
+    "<a <b>lt inside blob</a>",
+    "<p title=\"a<b\">lt inside quotes</p>",
+    "<ul><li>one<li>two<li>three</ul>",
+    "<p>unclosed everywhere<div>nested<span>deep",
+    "é<é>unicode tag name is not a tag",
+    "<p>&#60;escaped lt&#62;</p>",
+]
+
+
+class TestAdversarialEquivalence:
+    def test_handcrafted_cases(self):
+        for payload in ADVERSARIAL:
+            assert_equiv(payload)
+
+    def test_fixture_corpus(self):
+        rows = generate_transcripts(n_convs=300, seed=31)
+        for r in rows:
+            assert_equiv(r["text"])
+
+
+class TestRandomEquivalence:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="<>ab c/&;#x\"'=!-?p", max_size=300))
+    def test_tag_soup(self, soup):
+        assert_equiv(soup)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=300))
+    def test_arbitrary_text(self, payload):
+        assert_equiv(payload)
