@@ -271,6 +271,73 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph (line) dedup — the C4 pipeline step that
+    removes globally repeated boilerplate lines, keeping only the FIRST
+    corpus-wide occurrence of each normalized line (first = smallest
+    ``(doc_id, line_idx)``, so the result is deterministic under any
+    partitioning).
+
+    Plan: posexplode lines (trim + lowercase normalize for the dup key,
+    original text kept) → one ``row_number`` window partitioned by the
+    line's md5 — the only shuffle proportional to corpus size — →
+    winners regrouped per doc in line order.  Returns
+    ``(doc_id, kept_text, n_lines, n_kept)``.  At 10^12 turns the key
+    shuffle moves (hash, doc_id, idx, line) only for NON-EMPTY lines,
+    and a skewed key (a line repeated 10^9×) is bounded by AQE skew
+    splitting since the window only needs the global minimum — not the
+    full group — per key.
+    """
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    ).where(F.length(F.trim(F.col("_line"))) >= min_chars)
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("_line"))))).orderBy(
+        "_id", "_idx"
+    )
+    kept = lines.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    per_doc = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("kept_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+        )
+        .where(F.length(F.trim(F.col("_line"))) >= min_chars)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    return (
+        totals.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -227,6 +227,54 @@ def extract_turns(
     return df.mapInPandas(_kernel_batches, schema=EXTRACTED_SCHEMA)
 
 
+def extract_turns_skew_aware(
+    transcripts: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = 16,
+    heavy_turns: int = 10_000,
+) -> DataFrame:
+    """Skew-aware hybrid of the two :func:`extract_turns` strategies:
+    only conversations LONGER than ``heavy_turns`` take the salted
+    repartition; everything else runs straight on the scan partitions.
+
+    At 10^12 turns the full salted repartition moves every text byte
+    through the shuffle to defuse a skew that only the Zipf tail
+    actually has.  Here the tail is identified with one cheap
+    conv_id-only aggregate (columnar scan of a single dictionary-coded
+    column, no text), broadcast as a semi/anti-join filter, and ONLY
+    those conversations' turns are shuffled — the salted exchange
+    shrinks from 100% of the corpus to the heavy-tail fraction while
+    the skew defusal the north rule requires still applies to exactly
+    the conversations that need it.  Two filtered scans replace one
+    scan + full shuffle: at scale, re-reading columnar storage is
+    cheaper than writing + reading the whole corpus through shuffle.
+
+    Output is row-identical to both pure strategies (kernel is
+    per-turn; union order is immaterial under the downstream
+    Window.partitionBy(conv_id).orderBy(turn_idx) restore) — asserted
+    by tests/test_pipeline_spark.py's skew-aware equivalence test.
+    """
+    df = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    heavy_ids = F.broadcast(
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > heavy_turns)
+        .select("conv_id")
+    )
+    light = df.join(heavy_ids, "conv_id", "left_anti")
+    heavy = df.join(heavy_ids, "conv_id", "left_semi")
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+    heavy = heavy.repartition(
+        num_partitions,
+        F.xxhash64("conv_id"),
+        F.pmod(F.col("turn_idx"), F.lit(max(salt, 1))),
+    )
+    return light.mapInArrow(_kernel_batches_arrow, schema=EXTRACTED_SCHEMA).unionAll(
+        heavy.mapInArrow(_kernel_batches_arrow, schema=EXTRACTED_SCHEMA)
+    )
+
+
 def lineage(extracted: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """North-rule lineage table: one row per kernel task partition
     (× any extra ``by`` columns, e.g. the checkpoint bucket, so lineage

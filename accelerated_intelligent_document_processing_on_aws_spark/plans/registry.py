@@ -24,7 +24,9 @@ FRONT = [
     # crashed the driver canonicalizer; now CSV-stringified both sides)
     "embedding_int8_quantization",
     # round-4 battery: remaining TPC-H shapes over this fixture schema,
-    # HLL sketch with a checked error bound, explicit GROUPING SETS
+    # HLL sketch with a checked error bound, explicit GROUPING SETS,
+    # C4 cross-document paragraph dedup
+    "paragraph_dedup_docs",
     "q4_priority_late_exists",
     "q6_forecast_revenue",
     "q12_returnflag_case_buckets",

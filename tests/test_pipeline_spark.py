@@ -97,6 +97,20 @@ class TestByteEquality:
             .collect()
         }
         assert c == b
+        # skew-aware hybrid (only heavy conversations shuffle) must be
+        # row-identical too; tiny threshold forces BOTH branches to
+        # carry rows
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+            extract_turns_skew_aware,
+        )
+
+        d = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in extract_turns_skew_aware(df, num_partitions=4, heavy_turns=20)
+            .select("conv_id", "turn_idx", "extracted_text")
+            .collect()
+        }
+        assert d == b
 
 
 class TestLineage:
