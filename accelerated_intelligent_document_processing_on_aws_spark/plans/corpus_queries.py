@@ -1028,3 +1028,156 @@ def paragraph_dedup_docs(spark, sf_dir):
     :func:`...operators.dedup.dedup_paragraphs` for the scale notes."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.dedup_paragraphs(docs, "doc_id", "text", min_chars=1)
+
+
+# -- duplicated n-gram span fraction (substring-dedup approximation) --------
+@q(
+    "duplicate_ngram_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             md5(array_to_string(t[i:i+4], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ), counted AS (
+      SELECT g, COUNT(*) AS c FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT gr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN ct.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams
+      FROM grams gr JOIN counted ct ON gr.g = ct.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, n_dup_grams,
+           ROUND(CAST(n_dup_grams AS DOUBLE) / n_grams, 6) AS dup_gram_frac
+    FROM per_doc
+    """,
+)
+def duplicate_ngram_spans(spark, sf_dir):
+    """Corpus-duplicated n-gram coverage per document — the Spark-first
+    approximation of suffix-array substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    5-token gram occurring in 2+ places marks a duplicated span; a
+    document's ``dup_gram_frac`` is the share of its grams that are
+    globally repeated.  Plan: explode positional gram hashes (16-byte
+    md5, never the text), ONE gram-key aggregate, broadcast-free
+    re-join by gram key, per-doc rollup — two shuffles total, both on
+    hashes.  At 10^12 turns the gram agg is the big one; it is a plain
+    hash aggregate (map-side combine absorbs within-partition repeats),
+    and the join input carries (gram, doc_id) only."""
+    docs = _t(spark, sf_dir, "documents")
+    n = 5
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+        ).alias("_t"),
+    )
+    grams = toks.where(F.size("_t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_t"), i, n))
+                ),
+            )
+        ).alias("_g"),
+    )
+    counted = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        grams.join(counted, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_gram_frac"),
+        )
+    )
+
+
+# -- fixed-width histogram (no width_bucket in the oracle: shared floor
+#    arithmetic on both sides) ----------------------------------------------
+@q(
+    "length_histogram",
+    """
+    SELECT CAST(LEAST(GREATEST(FLOOR(n_chars / 500.0), 0), 19) AS BIGINT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def length_histogram(spark, sf_dir):
+    """Document-length histogram: 20 fixed 500-char buckets (top bucket
+    open-ended) — one 20-group aggregate, fully map-side combinable;
+    the corpus-profiling primitive behind length-based quality cuts."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("n_chars") / 500.0), F.lit(0)), F.lit(19)
+    ).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+# -- approx percentile with a CHECKED rank-error bound ----------------------
+@q(
+    "approx_percentile_bounds",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.90), 4) AS p90_exact,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    """``percentile_approx`` (GK sketch, accuracy=10000 → rank error
+    1e-4·N) checked in-plan against the exact percentile: the approx
+    value must fall between the exact quantiles at q∓0.01 — the
+    sketch's published rank guarantee becomes the oracle-verified
+    value (the HLL ``approx_ok`` pattern).  The sketch is the
+    per-group >10^9-row path: fixed-size mergeable state vs the exact
+    percentile's full-sort."""
+    o = _t(spark, sf_dir, "orders")
+
+    def band(q):
+        lo = F.expr(f"percentile(o_totalprice, {q - 0.01})")
+        hi = F.expr(f"percentile(o_totalprice, {q + 0.01})")
+        ap = F.expr(f"percentile_approx(o_totalprice, {q}, 10000)")
+        ex = F.expr(f"percentile(o_totalprice, {q})")
+        return ex, (ap >= lo) & (ap <= hi)
+
+    p50, ok50 = band(0.50)
+    p90, ok90 = band(0.90)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(p50, 4).alias("p50_exact"),
+            F.round(p90, 4).alias("p90_exact"),
+            ok50.alias("p50_ok"),
+            ok90.alias("p90_ok"),
+        )
+    )

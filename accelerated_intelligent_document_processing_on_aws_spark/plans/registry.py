@@ -25,7 +25,11 @@ FRONT = [
     "embedding_int8_quantization",
     # round-4 battery: remaining TPC-H shapes over this fixture schema,
     # HLL sketch with a checked error bound, explicit GROUPING SETS,
-    # C4 cross-document paragraph dedup
+    # C4 cross-document paragraph dedup, duplicated n-gram spans,
+    # length histogram, approx-percentile with checked rank bound
+    "duplicate_ngram_spans",
+    "length_histogram",
+    "approx_percentile_bounds",
     "paragraph_dedup_docs",
     "q4_priority_late_exists",
     "q6_forecast_revenue",
