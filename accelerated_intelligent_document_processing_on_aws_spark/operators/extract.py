@@ -255,11 +255,16 @@ def extract_turns_skew_aware(
     by tests/test_pipeline_spark.py's skew-aware equivalence test.
     """
     df = transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    # lazy localCheckpoint: the conv_id-count subtree is referenced by
+    # BOTH branches — without it the plan evaluates the counting
+    # aggregate twice (the multiply-referenced-subtree trap from the
+    # minhash/simhash plans, NOTES round 3)
     heavy_ids = F.broadcast(
         df.groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > heavy_turns)
         .select("conv_id")
+        .localCheckpoint(eager=False)
     )
     light = df.join(heavy_ids, "conv_id", "left_anti")
     heavy = df.join(heavy_ids, "conv_id", "left_semi")

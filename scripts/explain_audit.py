@@ -93,6 +93,27 @@ def main() -> None:
         ),
     )
 
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+        extract_turns_skew_aware,
+    )
+
+    add(
+        "Extraction kernel, skew-aware hybrid (round 4)",
+        "Union of two MapInArrow branches: the LIGHT branch sits on the "
+        "pruned scan behind a BroadcastHashJoin LeftAnti (no exchange "
+        "of text bytes), the HEAVY branch (conversations > heavy_turns, "
+        "found by a conv_id-only aggregate) goes through the ONE salted "
+        "Exchange.  Shuffled bytes ∝ the Zipf-tail fraction.  Wins when "
+        "shuffle (network) is the bottleneck — on a real cluster with "
+        "remote storage; on this box, where tmpfs scan+decode dominates, "
+        "the double scan costs more than the saved shuffle (measured in "
+        "bench.py), which is exactly the trade the plan shows.",
+        extract_turns_skew_aware(
+            tdisk.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+            heavy_turns=100,
+        ),
+    )
+
     add(
         "Column pruning / predicate pushdown into the scan",
         "PushedFilters carries the conv_id filter; ReadSchema is pruned to "
