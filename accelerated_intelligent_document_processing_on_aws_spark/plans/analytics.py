@@ -1526,3 +1526,82 @@ def grouping_sets_metrics(spark, sf_dir):
             "total_price",
         )
     )
+
+
+# -- time-RANGE rolling window (interval frame, not row frame) ---------------
+@q(
+    "rolling_range_window",
+    """
+    SELECT event_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+           ), 6) AS avg_10m,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_10m
+    FROM events WHERE user_id % 50 = 0
+    """,
+)
+def rolling_range_window(spark, sf_dir):
+    """Time-RANGE rolling aggregate: the frame is an INTERVAL over event
+    time, not a row count — uneven event spacing means a row frame is
+    semantically wrong for 'last 10 minutes'.  Spark expresses it as a
+    rangeBetween window on epoch seconds (one user_id shuffle, sorted
+    once, both aggregates share the frame)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_10m"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_10m"),
+    )
+
+
+# -- MERGE / upsert latest-wins semantics (CDC compaction analog) ------------
+@q(
+    "upsert_latest_events",
+    """
+    SELECT user_id, event_type,
+           CAST(event_id AS BIGINT) AS event_id,
+           ROUND(value, 4) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id % 100 = 0
+    ) WHERE rn = 1
+    """,
+)
+def upsert_latest_events(spark, sf_dir):
+    """Latest-wins upsert compaction — the batch analog of Iceberg
+    ``MERGE INTO``/CDC dedup: one row per (user_id, event_type), the
+    newest by (ts, event_id) wins.  One key shuffle + row_number; at
+    10^12 rows this is the standard snapshot-compaction plan (AQE
+    handles hot keys; the deterministic event_id tiebreak makes the
+    result partitioning-invariant)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.round("value", 4).alias("value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        )
+    )

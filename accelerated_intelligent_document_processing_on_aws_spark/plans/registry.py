@@ -27,6 +27,8 @@ FRONT = [
     # HLL sketch with a checked error bound, explicit GROUPING SETS,
     # C4 cross-document paragraph dedup, duplicated n-gram spans,
     # length histogram, approx-percentile with checked rank bound
+    "rolling_range_window",
+    "upsert_latest_events",
     "duplicate_ngram_spans",
     "length_histogram",
     "approx_percentile_bounds",
