@@ -1,4 +1,5 @@
 from .ingest import (  # noqa: F401
+    dedup_stream,
     extracted_stream,
     run_stream_to_parquet,
     stream_transcripts,

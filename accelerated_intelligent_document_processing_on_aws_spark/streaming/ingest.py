@@ -109,3 +109,26 @@ def streaming_session_counts(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    transcripts_stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once streaming dedup on the turn key.
+
+    The reference's queue path can deliver the same S3 event twice
+    (SQS at-least-once, ``queue_processor/index.py`` relies on the
+    DynamoDB conditional write to drop replays); the Spark-native
+    restatement is ``dropDuplicatesWithinWatermark``: state holds one
+    entry per key only until the event-time watermark passes ``delay``,
+    so the dedup state is BOUNDED — at 10^12 turns an unbounded
+    ``dropDuplicates`` would accumulate every key forever, while this
+    holds only the watermark window's worth.  Replays inside the window
+    are dropped; the watermark guarantees replays outside it cannot be
+    in flight (the queue's redelivery horizon maps to ``delay``).
+    """
+    return transcripts_stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

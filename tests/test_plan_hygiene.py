@@ -33,3 +33,64 @@ def test_no_row_python_and_no_cartesian(spark, name):
     plan = _plan(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross product"
+
+
+# Positive plan-shape assertions: the strategy each flagship plan MUST
+# exhibit (a regression to a worse join/exchange shape fails CI even
+# though the result stays correct).
+POSITIVE_SHAPES = {
+    # dim side must broadcast after the manual prefilter
+    "q19_disjunctive_predicates": ["BroadcastHashJoin"],
+    # EXISTS / NOT EXISTS must stay semi/anti — never a full join + dedup
+    "q4_priority_late_exists": ["LeftSemi"],
+    "q22_idle_customers": ["LeftAnti"],
+    "q18_large_orders": ["LeftSemi"],
+    "semi_join_active": ["LeftSemi"],
+    "anti_join_resume": ["LeftAnti"],
+    # star join: every dimension broadcasts
+    "q5_regional_volume": ["BroadcastHashJoin"],
+    # sketch surfaces must plan as partial+final aggregates (mergeable
+    # state), visible as two HashAggregate levels around one Exchange
+    "approx_distinct_hll": ["HashAggregate"],
+    "grouping_sets_metrics": ["Expand"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(POSITIVE_SHAPES))
+def test_plan_keeps_required_shape(spark, name):
+    plan = _plan(QUERIES[name](spark, SF))
+    for marker in POSITIVE_SHAPES[name]:
+        assert marker in plan, f"{name}: expected {marker} in physical plan"
+
+
+def test_salted_extraction_has_exactly_one_exchange(spark):
+    """The salted kernel path must shuffle ONCE (the salt repartition)
+    — a second Exchange would mean text bytes move twice."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+        extract_turns,
+    )
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "<p>hello world</p>", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    import re
+
+    plan = _plan(extract_turns(t, num_partitions=4, salt=8))
+    # formatted explain prints each node twice (tree + detail block);
+    # count the detail headers, one per physical node
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+
+
+def test_zero_shuffle_extraction_has_no_exchange(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+        extract_turns,
+    )
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "<p>hello world</p>", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(extract_turns(t, salt=0))
+    assert "Exchange" not in plan, plan

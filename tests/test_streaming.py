@@ -573,3 +573,69 @@ class TestTransformWithState:
         got = {r["turn_idx"]: r["section_id"] for r in rows}
         assert got == _WANT
         assert all(not r["gap_flushed"] for r in rows)
+
+
+class TestStreamingDedup:
+    def test_replayed_rows_dropped_within_watermark(self, spark, tmp_path):
+        """At-least-once delivery (the reference's SQS replay case):
+        the same turns arrive again in a LATER micro-batch; the
+        watermarked dedup emits each key exactly once, with bounded
+        state."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from datetime import datetime, timezone
+
+        shard_dir = str(tmp_path / "shards")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(shard_dir, exist_ok=True)
+
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+                ("ts", pa.timestamp("us", tz="UTC")),
+            ]
+        )
+        t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        rows = [
+            {
+                "conv_id": "c1",
+                "turn_idx": i,
+                "role": "user",
+                "text": f"turn {i}",
+                "tool": None,
+                "ts": t0,
+            }
+            for i in range(20)
+        ]
+
+        def dump(path, rs):
+            cols = {k: [r[k] for r in rs] for k in schema.names}
+            pq.write_table(pa.Table.from_pydict(cols, schema=schema), path)
+
+        # shard0: originals; shard1: full replay + 5 new turns
+        dump(f"{shard_dir}/shard0.parquet", rows)
+        replay = rows + [
+            {**rows[0], "turn_idx": 20 + i, "text": f"turn {20 + i}"}
+            for i in range(5)
+        ]
+        dump(f"{shard_dir}/shard1.parquet", replay)
+
+        stream = streaming.stream_transcripts(spark, shard_dir, max_files_per_trigger=1)
+        deduped = streaming.dedup_stream(stream, ("conv_id", "turn_idx"), "10 minutes")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = spark.read.parquet(out)
+        assert got.count() == 25  # 20 originals + 5 new, replays dropped
+        assert got.select("conv_id", "turn_idx").distinct().count() == 25
