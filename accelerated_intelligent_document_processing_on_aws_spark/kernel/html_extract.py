@@ -102,14 +102,20 @@ _TAG_META: dict = {}
 def _scan_blocks_ref(html: str) -> list[_Block]:
     """Reference tokenizer: single fused regex pass + block builder.
 
-    One ``finditer`` loop; inter-match slices are data (an unmatched '<'
-    stays inside its data slice — output is concatenation-equivalent,
-    and entities never span a '<' so per-slice unescape is unaffected).
+    A position-driven ``search`` loop; inter-match slices are data (an
+    unmatched '<' stays inside its data slice — output is
+    concatenation-equivalent, and entities never span a '<' so
+    per-slice unescape is unaffected).  After a raw-text skip the
+    search RESUMES at the character after the closing tag, so a quoted
+    attribute inside script content can never swallow tags beyond the
+    script's end (the old ``finditer`` + lt<pos-skip form had exactly
+    that artifact — a match starting inside the skipped region consumed
+    text past it; hypothesis found the divergence).
     This is the SEMANTIC DEFINITION of the scan; :func:`_scan_blocks`
     is the find-dispatch fast twin, gated by an equivalence test
-    (tests/test_tokenizer_equiv.py) on fixture + adversarial + random
-    inputs.  Block semantics are pinned by the kernel snapshot test
-    (tests/test_kernel.py)."""
+    (tests/test_tokenizer_equiv.py) on fixture + adversarial + random +
+    structured-nested inputs.  Block semantics are pinned by the kernel
+    snapshot test (tests/test_kernel.py)."""
     blocks: list[_Block] = []
     drop_depth = boiler_depth = link_depth = 0
     cur: _Block | None = None
@@ -139,10 +145,10 @@ def _scan_blocks_ref(html: str) -> list[_Block]:
                 break
 
     tm = _TAG_META  # shared raw-name memo (tag vocabulary is tiny)
-    for m in _FAST_TAG.finditer(html):
+    search = _FAST_TAG.search
+    m = search(html, 0)
+    while m:
         lt, mend = m.span()
-        if lt < pos:
-            continue  # tag text inside a raw-text element already skipped
         if lt > pos and not drop_depth:
             data = html[pos:lt]
             if "&" in data:
@@ -157,6 +163,7 @@ def _scan_blocks_ref(html: str) -> list[_Block]:
         pos = mend
         end_slash, name, blob, self_close = m.group(1, 2, 3, 4)
         if name is None:  # comment/doctype/PI
+            m = search(html, pos)
             continue
         meta = tm.get(name)
         if meta is None:
@@ -184,6 +191,7 @@ def _scan_blocks_ref(html: str) -> list[_Block]:
                         cur = None
             else:
                 _end(tag)
+            m = search(html, pos)
             continue
         tag, drop, boiler, block, entry = meta
         if (
@@ -226,6 +234,7 @@ def _scan_blocks_ref(html: str) -> list[_Block]:
             gt = html.find(">", close)
             _end(tag)
             pos = n if gt < 0 else gt + 1
+        m = search(html, pos)
     if pos < n and not drop_depth:
         data = html[pos:]
         if "&" in data:

@@ -36,6 +36,14 @@ def main() -> None:
                          "partitions; for byte-balanced input layouts); "
                          ">0 = salted conv-hash repartition (skew defusal "
                          "for conv-clustered inputs)")
+    ap.add_argument("--strategy", choices=["salted", "skew-aware"],
+                    default="salted",
+                    help="skew-aware = only conversations longer than "
+                         "--heavy-turns take the salted repartition; the "
+                         "rest run on scan partitions (shuffle bytes ∝ "
+                         "the Zipf-tail fraction — the network-bound-"
+                         "cluster default)")
+    ap.add_argument("--heavy-turns", type=int, default=10_000)
     ap.add_argument("--skip-checkpoint", action="store_true",
                     help="single-shot extraction without bucket waves")
     ap.add_argument("--no-warmup", action="store_true")
@@ -49,6 +57,7 @@ def main() -> None:
 
     from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
         extract_turns,
+        extract_turns_skew_aware,
         lineage,
     )
     from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
@@ -74,9 +83,17 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if args.skip_checkpoint:
-        extracted = extract_turns(
-            transcripts, num_partitions=cores * 3, salt=args.salt
-        )
+        if args.strategy == "skew-aware":
+            extracted = extract_turns_skew_aware(
+                transcripts,
+                num_partitions=cores * 3,
+                salt=max(args.salt, 1),
+                heavy_turns=args.heavy_turns,
+            )
+        else:
+            extracted = extract_turns(
+                transcripts, num_partitions=cores * 3, salt=args.salt
+            )
         # ONE pass: write the extracted table (internal lineage columns
         # included — they are two narrow numerics).  Lineage then
         # aggregates from the written files with column pruning, and the

@@ -92,3 +92,54 @@ class TestRandomEquivalence:
     @given(st.text(max_size=300))
     def test_arbitrary_text(self, payload):
         assert_equiv(payload)
+
+
+# Structured generator: realistic nested HTML with randomized tag names,
+# attribute quoting styles, entities, comments, and broken closings —
+# the distribution the fast paths actually dispatch on.
+_TAGS = ["div", "p", "span", "a", "li", "ul", "nav", "script", "b", "DIV", "P"]
+_ATTRS = [
+    "",
+    " class=msg",
+    ' class="msg user"',
+    " class='sidebar ad'",
+    ' id="main"',
+    " href=x",
+    ' data-x="1" class="content"',
+    " class",  # valueless
+    ' class="a>b"',  # quoted '>'
+    ' class="unterminated',  # void tag
+]
+_texts = st.sampled_from(
+    ["hello world", "a &amp; b", "x &#60; y", "", "  ", "multi\nline text here"]
+)
+
+
+@st.composite
+def _html_doc(draw, depth=0):
+    n = draw(st.integers(0, 4 if depth < 3 else 0))
+    parts = [draw(_texts)]
+    for _ in range(n):
+        tag = draw(st.sampled_from(_TAGS))
+        attr = draw(st.sampled_from(_ATTRS))
+        style = draw(st.integers(0, 4))
+        inner = draw(_html_doc(depth + 1))
+        if style == 0:
+            parts.append(f"<{tag}{attr}>{inner}</{tag}>")
+        elif style == 1:
+            parts.append(f"<{tag}{attr}>{inner}")  # never closed
+        elif style == 2:
+            parts.append(f"<{tag}{attr}/>{inner}")  # self-closed
+        elif style == 3:
+            parts.append(f"<{tag}{attr}>{inner}</{tag} junk>")  # junk end
+        else:
+            parts.append(f"<!-- c -->{inner}<br>")
+        parts.append(draw(_texts))
+    return "".join(parts)
+
+
+class TestStructuredEquivalence:
+    @settings(max_examples=150, deadline=None)
+    @given(_html_doc())
+    def test_structured_nested_html(self, doc):
+        assert_equiv(doc)
