@@ -1605,3 +1605,39 @@ def upsert_latest_events(spark, sf_dir):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         )
     )
+
+
+# -- explicit salted join vs its plain-join semantics ------------------------
+@q(
+    "salted_join_hot_key",
+    """
+    WITH dim AS (
+      SELECT event_type, ROUND(AVG(value), 4) AS type_avg
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value, d.type_avg
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE e.user_id % 200 = 0
+    """,
+)
+def salted_join_hot_key(spark, sf_dir):
+    """The explicit skew-join utility under the driver's hash check:
+    ``salted_join`` (deterministic row-hash salt on the fact side,
+    explode-replicated dim side) must equal the plain join exactly.
+    event_type has ~4 distinct values over millions of events — the
+    textbook hot-key join AQE only fixes after a bad shuffle; salting
+    fixes it in the plan."""
+    from ..operators.skewjoin import salted_join
+
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") % 200 == 0)
+    dim = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 4).alias("type_avg"))
+    )
+    return salted_join(e, dim, "event_type", salt=8, how="inner").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "type_avg",
+    )

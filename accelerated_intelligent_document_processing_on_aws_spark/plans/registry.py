@@ -27,6 +27,7 @@ FRONT = [
     # HLL sketch with a checked error bound, explicit GROUPING SETS,
     # C4 cross-document paragraph dedup, duplicated n-gram spans,
     # length histogram, approx-percentile with checked rank bound
+    "salted_join_hot_key",
     "rolling_range_window",
     "upsert_latest_events",
     "duplicate_ngram_spans",
