@@ -1641,3 +1641,45 @@ def salted_join_hot_key(spark, sf_dir):
         F.round("value", 4).alias("value"),
         "type_avg",
     )
+
+
+# -- multiset set-ops: EXCEPT ALL / INTERSECT (shard reconciliation) ---------
+@q(
+    "except_intersect_shards",
+    """
+    WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+         b AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT 'only_a' AS side, CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    GROUP BY o_custkey
+    UNION ALL
+    SELECT 'common' AS side, CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    GROUP BY o_custkey
+    """,
+)
+def except_intersect_shards(spark, sf_dir):
+    """Multiset reconciliation between two shard exports: EXCEPT ALL
+    keeps per-row multiplicity (a key appearing 3× in a and 1× in b
+    survives 2×) — the correct semantics for row-count drift detection,
+    where DISTINCT-based EXCEPT would hide partial loss.  Both set-ops
+    plan as a single hash aggregate over a union with count
+    differencing — one shuffle each."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    b = o.where(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    only_a = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("only_a").alias("side"), F.col("o_custkey").cast("bigint"), "n")
+    )
+    common = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("common").alias("side"), F.col("o_custkey").cast("bigint"), "n")
+    )
+    return only_a.unionAll(common)
