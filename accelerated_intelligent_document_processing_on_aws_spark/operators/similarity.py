@@ -362,3 +362,162 @@ def quantize_embeddings_int8(
 def dequantize_int8(q_col, scale_col) -> "F.Column":
     """array<tinyint> + scale → array<double> (the read-side inverse)."""
     return F.transform(q_col, lambda x: x.cast("double") * scale_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``n_subspaces``
+    contiguous sub-vectors, run the distributed Lloyd trainer per
+    subspace.  Returns ``codebooks[s][c] -> sub-centroid`` — the
+    O(m·k·dim/m) model, broadcast-sized at any corpus scale.
+
+    At 10^12 vectors PQ is the memory lever IVF/int8 can't reach:
+    8 bits per subspace (vs 8 per DIMENSION for int8) stores a
+    d=768 vector in m bytes — ~100× smaller — and asymmetric-distance
+    scoring needs only the m×k lookup tables per query."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    w = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for s in range(n_subspaces):
+        sub = corpus.select(
+            F.slice(F.col(vec_col), s * w + 1, w).alias("embedding")
+        )
+        books.append(
+            train_centroids_distributed(
+                sub, n_centroids=n_codes, vec_col="embedding", iters=iters
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``array<int>`` of per-subspace nearest
+    code ids.  Pure Catalyst: per subspace, the argmin over the
+    (broadcast-literal) codebook reuses the IVF nearest-centroid
+    expression on the sliced sub-vector — no UDF, no shuffle."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    codes = [
+        _nearest_centroid(F.slice(F.col(vec_col), s * w + 1, w), codebooks[s])
+        for s in range(m)
+    ]
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_decode_expr(code_col, codebooks: list[list[list[float]]]):
+    """array<int> codes → reconstructed array<double> (concatenated
+    sub-centroids).  Catalyst-only; used by tests and by rerank-free
+    scoring."""
+    m = len(codebooks)
+    parts = []
+    for s in range(m):
+        book = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for cent in codebooks[s]
+            ]
+        )
+        parts.append(F.element_at(book, F.element_at(code_col, s + 1) + 1))
+    return F.flatten(F.array(*parts))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays float, the
+    corpus is its PQ codes; score = cosine(query, reconstruction(code)).
+    Implemented as code → reconstructed vector (Catalyst lookup into
+    the broadcast-literal codebooks) → cosine vs query — one
+    crossJoin(broadcast(queries)) like the brute-force oracle but over
+    m-int codes instead of d-float vectors: the scan side shrinks
+    ~d/m ×, which is the point at 10^12 vectors.  Probabilistic recall
+    (quantization error) → rows-only driver entry; recall is gated in
+    pytest against the exact brute force."""
+    from ..functions.vectors import cosine_sim
+
+    encoded = pq_encode(corpus, codebooks, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), "pq_code"
+    )
+    recon = pq_decode_expr(F.col("pq_code"), codebooks)
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qv"),
+        )
+    )
+    scored = encoded.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine_sim(recon, F.col("_qv")).alias("cosine"),
+    )
+    return _topk_by_query(scored, k)
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ shortlist → exact rerank: the production ANN shape.
+
+    The ADC pass over m-int codes produces a ``shortlist`` per query;
+    only those |queries|·shortlist rows join back to their float
+    vectors for the exact cosine — at 10^12 vectors the full-precision
+    compute shrinks from corpus-sized to shortlist-sized while the
+    scan-side stays code-sized.  Recall is set by the shortlist depth
+    (gated in pytest vs exact brute force), not by PQ's raw top-k
+    fragility."""
+    from ..functions.vectors import cosine_sim
+
+    sl = pq_topk(
+        corpus,
+        queries,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select("query_id", "vec_id")
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qv"),
+        )
+    )
+    scored = (
+        sl.join(vecs, "vec_id")
+        .join(q, "query_id")
+        .select("query_id", "vec_id", cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine"))
+    )
+    return _topk_by_query(scored, k)

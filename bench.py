@@ -60,6 +60,12 @@ HEADLINE = [
     "layout_tables_cells",
     "layout_table_markdown",
     "text_confidence_table",
+    "paragraph_dedup_docs",
+    "duplicate_ngram_spans",
+    "salted_join_hot_key",
+    "upsert_latest_events",
+    "q13_custdist",
+    "approx_distinct_hll",
 ]
 
 
