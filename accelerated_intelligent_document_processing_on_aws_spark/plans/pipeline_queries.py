@@ -146,6 +146,18 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
 
 
+@q("ann_pq_rerank_topk")
+def ann_pq_rerank_topk(spark, sf_dir):
+    """PQ shortlist + exact rerank (rows-only: codebook training is
+    data-derived; recall vs brute force is gated in pytest)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = similarity.train_pq_codebooks(e, n_subspaces=8, n_codes=16, iters=2)
+    return similarity.pq_topk_rerank(e, qs, books, k=5, shortlist=64)
+
+
 @q("pipeline_evaluation_report")
 def pipeline_evaluation_report(spark, sf_dir):
     """Self-evaluation: distributed extraction vs the pure-Python golden
