@@ -57,6 +57,7 @@ def run_at(
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=4000",
+        "--conf", "spark.io.compression.codec=snappy",
         # split the (snappy-compact) scan so it parallelizes past a few tasks
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         # shuffle on tmpfs: the salted repartition must not be disk-bound
