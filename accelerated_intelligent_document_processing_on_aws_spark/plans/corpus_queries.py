@@ -1181,3 +1181,47 @@ def approx_percentile_bounds(spark, sf_dir):
             ok90.alias("p90_ok"),
         )
     )
+
+
+# -- array-function battery (atomic outputs: the registry lint bans
+#    exposing raw arrays to the driver canonicalizer) -----------------------
+@q(
+    "array_functions_battery",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+           list_contains(toks, 'the') AS has_the,
+           toks[1] AS head_tok,
+           toks[len(toks)] AS last_tok
+    FROM t
+    """,
+)
+def array_functions_battery(spark, sf_dir):
+    """Array-function surface over tokenized text: size, distinct,
+    sort+slice, contains, head/last element — all whole-stage-codegen
+    array expressions (no explode, no shuffle beyond the scan), results
+    emitted as atomic columns (CSV-joined slice) per the driver
+    canonicalizer contract."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(toks, 1).alias("head_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )

@@ -143,3 +143,48 @@ class TestStructuredEquivalence:
     @given(_html_doc())
     def test_structured_nested_html(self, doc):
         assert_equiv(doc)
+
+
+import pytest
+
+from accelerated_intelligent_document_processing_on_aws_spark.kernel import (
+    html_extract as _hx,
+)
+
+
+@pytest.fixture(autouse=False)
+def _fresh_memos():
+    """Snapshot/restore the module-global tag memos so a test that
+    deliberately overflows them doesn't leave later tests (and their
+    timings) running with a junk-saturated memo."""
+    tm, om = dict(_hx._TAG_META), dict(_hx._OPEN_MEMO)
+    try:
+        yield
+    finally:
+        _hx._TAG_META.clear()
+        _hx._TAG_META.update(tm)
+        _hx._OPEN_MEMO.clear()
+        _hx._OPEN_MEMO.update(om)
+
+
+class TestMemoOverflow:
+    @pytest.mark.usefixtures("_fresh_memos")
+    def test_beyond_memo_bound_stays_equivalent(self):
+        """Adversarial input with >4096 distinct tag names: both
+        tokenizers stop memoizing at the bound and must stay
+        byte-equivalent on the unmemoized tail (different memo
+        *contents* across the two implementations must never leak into
+        output)."""
+        parts = []
+        for i in range(5000):
+            parts.append(f"<t{i} class=msg>word {i} here</t{i}>")
+        doc = "<div>" + "".join(parts) + "</div>"
+        assert_equiv(doc)
+
+    @pytest.mark.usefixtures("_fresh_memos")
+    def test_repeated_after_overflow(self):
+        # tags seen AFTER the memo is full take the slow path every
+        # time — same output required
+        doc = "".join(f"<z{i}>x</z{i}>" for i in range(4200))
+        doc += "<p>tail paragraph with enough text to keep</p>" * 3
+        assert_equiv(doc)
