@@ -232,3 +232,24 @@ def compact_parquet_dir(
     shutil.rmtree(old)
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def write_sorted_export(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Globally-sorted parquet export: ``repartitionByRange`` on the
+    sort key (sampled range bounds → balanced files) then
+    ``sortWithinPartitions`` — together a total order across files
+    (file k's max <= file k+1's min) WITHOUT a single-task global sort.
+    The warehouse-export shape: range pruning works on the sort column
+    for any downstream reader, and each file is internally sorted for
+    page-index skipping.  One range-exchange, n_files writers."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

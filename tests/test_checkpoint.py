@@ -306,3 +306,60 @@ class TestCompaction:
         spark.range(0, 100).coalesce(1).write.parquet(path)
         stats = compact_parquet_dir(spark, path)
         assert stats["files_before"] == stats["files_after"] == 1
+
+
+class TestSortedExport:
+    def test_total_order_across_files(self, spark, tmp_path):
+        """write_sorted_export: every file internally sorted AND file
+        ranges non-overlapping (total order without a global sort)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.reporting import (
+            write_sorted_export,
+        )
+
+        df = spark.range(0, 5000).select(
+            (F.col("id") * 7919 % 5000).alias("k"), F.col("id").alias("v")
+        )
+        out = str(tmp_path / "sorted")
+        write_sorted_export(df, out, ["k"], n_files=5)
+
+        spans = []
+        for f in glob.glob(out + "/part-*.parquet"):
+            t = pq.read_table(f, columns=["k"])
+            ks = t.column("k").to_pylist()
+            if not ks:
+                continue
+            assert ks == sorted(ks), "file not internally sorted"
+            spans.append((min(ks), max(ks)))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, "file ranges overlap - no total order"
+        total = sum(
+            pq.read_table(f, columns=["k"]).num_rows
+            for f in glob.glob(out + "/part-*.parquet")
+        )
+        assert total == 5000
+
+    def test_schema_evolution_read(self, spark, tmp_path):
+        """Added-column schema evolution: day-2 shards carry a new
+        column; mergeSchema read presents the union schema with nulls
+        for day-1 rows (the additive-evolution contract an Iceberg
+        table gives for free, proven on the parquet fallback)."""
+        base = str(tmp_path / "evo")
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("a").alias("x")
+        ).write.parquet(base + "/day=1")
+        spark.range(10, 20).select(
+            F.col("id").alias("k"),
+            F.lit("b").alias("x"),
+            F.lit(1.5).alias("new_metric"),
+        ).write.parquet(base + "/day=2")
+        got = spark.read.option("mergeSchema", "true").parquet(
+            base + "/day=1", base + "/day=2"
+        )
+        assert set(got.columns) == {"k", "x", "new_metric"}
+        assert got.count() == 20
+        assert got.where(F.col("new_metric").isNull()).count() == 10
