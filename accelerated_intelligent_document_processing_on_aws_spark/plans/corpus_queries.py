@@ -1235,3 +1235,68 @@ def array_functions_battery(spark, sf_dir):
         F.element_at(toks, 1).alias("head_tok"),
         F.element_at(toks, -1).alias("last_tok"),
     )
+
+
+# -- PQ encode under the driver hash: formula-derived literal codebook ------
+def _pq_formula_codebooks(m: int = 4, k: int = 4, w: int = 16):
+    """Deterministic codebook both engines can construct:
+    centroid[s][c][j] = ((c+1)(j+1)(s+1) mod 7 - 3)/3."""
+    return [
+        [
+            [((c + 1) * (j + 1) * (s + 1) % 7 - 3) / 3.0 for j in range(w)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+@q(
+    "pq_encode_literal",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT vec_id,
+           array_to_string(
+             list_transform(range(4), s ->
+               list_position(
+                 list_transform(range(4), c ->
+                   list_sum(list_transform(range(16), j ->
+                     (v[CAST(s*16 + j + 1 AS INT)]
+                      - (CAST(((c+1)*(j+1)*(s+1)) % 7 AS DOUBLE) - 3.0) / 3.0)
+                     * (v[CAST(s*16 + j + 1 AS INT)]
+                        - (CAST(((c+1)*(j+1)*(s+1)) % 7 AS DOUBLE) - 3.0) / 3.0)
+                   ))
+                 ),
+                 list_min(list_transform(range(4), c ->
+                   list_sum(list_transform(range(16), j ->
+                     (v[CAST(s*16 + j + 1 AS INT)]
+                      - (CAST(((c+1)*(j+1)*(s+1)) % 7 AS DOUBLE) - 3.0) / 3.0)
+                     * (v[CAST(s*16 + j + 1 AS INT)]
+                        - (CAST(((c+1)*(j+1)*(s+1)) % 7 AS DOUBLE) - 3.0) / 3.0)
+                   ))
+                 ))
+               ) - 1
+             ), ',') AS pq_code
+    FROM e
+    """,
+)
+def pq_encode_literal(spark, sf_dir):
+    """PQ encode under the driver's value hash: a formula-derived
+    literal codebook (both engines construct centroid[s][c][j] =
+    ((c+1)(j+1)(s+1) mod 7 − 3)/3) pins the trained-codebook
+    nondeterminism away, so the per-subspace argmin — first-occurrence
+    tie-break, left-to-right double accumulation — is hash-checked
+    end-to-end.  The trained path (``ann_pq_rerank_topk``) shares this
+    exact encode expression."""
+    from ..operators.similarity import pq_encode
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    books = _pq_formula_codebooks()
+    return pq_encode(e, books).select(
+        "vec_id",
+        F.array_join(
+            F.transform("pq_code", lambda x: x.cast("string")), ","
+        ).alias("pq_code"),
+    )
