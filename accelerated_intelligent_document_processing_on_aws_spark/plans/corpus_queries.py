@@ -1300,3 +1300,76 @@ def pq_encode_literal(spark, sf_dir):
             F.transform("pq_code", lambda x: x.cast("string")), ","
         ).alias("pq_code"),
     )
+
+
+# -- simhash fingerprint under the driver hash (md5 token hashes) -----------
+@q(
+    "simhash_md5_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')),
+               tok -> CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+             ) AS h
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_toks,
+           array_to_string(
+             list_transform(range(60), j ->
+               CASE WHEN list_sum(list_transform(h, x ->
+                      CASE WHEN (x >> CAST(j AS INT)) & 1 = 1
+                           THEN 1 ELSE -1 END)) >= 0
+                    THEN '1' ELSE '0' END
+             ), '') AS simhash_bits
+    FROM t
+    """,
+)
+def simhash_md5_fingerprint(spark, sf_dir):
+    """SimHash with a cross-engine hash: each distinct token's 60-bit
+    md5-prefix hash votes ±1 per bit position; bit j of the fingerprint
+    is the sign of the vote sum (ties → 1).  The engine's production
+    simhash (``dedup.simhash_pairs``) uses xxhash64 and stays
+    rows-only; THIS variant makes the simhash bit-vote semantics
+    themselves hash-checked against an independent SQL recomputation.
+    Pure Catalyst: tokens hashed ONCE into an int array, 60 bit-votes
+    as nested higher-order aggregates (bit j extracted by exact
+    power-of-two modular arithmetic — ``shiftright`` needs a literal
+    shift, the transform variable j is a column).  Emitted as a 60-char
+    bit string (atomic column, exact at any width)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+        )
+    )
+    h = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    # exact powers of two as bigint literals: P[j+1] = 2^j
+    pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(61)])
+    bit = lambda x, j: F.when(
+        (x % F.element_at(pows, j + 2)) >= F.element_at(pows, j + 1), 1
+    ).otherwise(-1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.when(
+            F.aggregate(
+                F.col("_h"), F.lit(0), lambda acc, x: acc + bit(x, j)
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return (
+        docs.select("doc_id", h.alias("_h"))
+        .select(
+            "doc_id",
+            F.size("_h").cast("bigint").alias("n_toks"),
+            F.array_join(bits, "").alias("simhash_bits"),
+        )
+    )
