@@ -1373,3 +1373,78 @@ def simhash_md5_fingerprint(spark, sf_dir):
             F.array_join(bits, "").alias("simhash_bits"),
         )
     )
+
+
+# -- minhash signature under the driver hash (md5-salted hash family) -------
+@q(
+    "minhash_md5_signature",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                    || ' ' || toks[CAST(i+2 AS INT)]) AS shingles
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(shingles) AS BIGINT) AS n_shingles,
+           array_to_string(
+             list_transform(range(16), i ->
+               CAST(list_min(list_transform(shingles, s ->
+                 CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)
+                      AS BIGINT))) AS VARCHAR)
+             ), ',') AS minhash_sig
+    FROM sh WHERE len(shingles) > 0
+    """,
+)
+def minhash_md5_signature(spark, sf_dir):
+    """MinHash signature with a cross-engine hash family: h_i(s) =
+    60-bit prefix of md5(i || ':' || s) over word 3-shingles of the
+    token sequence; sig[i] = min over shingles.  K independent
+    salted hashes replace the production path's blake2b+universal-remix
+    (engine-internal, rows-only) so the estimator's min-stability —
+    P(sig_a[i]=sig_b[i]) = Jaccard — is hash-checked against an
+    independent SQL recomputation.  Pure Catalyst: one shingle array,
+    16 min-aggregates in codegen, no shuffle beyond the scan."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_t")) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_t"), i),
+            F.element_at(F.col("_t"), i + 1),
+            F.element_at(F.col("_t"), i + 2),
+        ),
+    )
+    hmin = lambda i: F.array_min(
+        F.transform(
+            F.col("_sh"),
+            lambda s: F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i)), F.lit(":"), s)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+    )
+    sig = F.array(*[hmin(i).cast("string") for i in range(16)])
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .select("doc_id", shingles.alias("_sh"))
+        .where(F.size("_sh") > 0)
+        .select(
+            "doc_id",
+            F.size("_sh").cast("bigint").alias("n_shingles"),
+            F.array_join(sig, ",").alias("minhash_sig"),
+        )
+    )
