@@ -1683,3 +1683,48 @@ def except_intersect_shards(spark, sf_dir):
         .select(F.lit("common").alias("side"), F.col("o_custkey").cast("bigint"), "n")
     )
     return only_a.unionAll(common)
+
+
+# -- DataSketches HLL: per-shard sketches merged at read (the stored-
+#    sketch workflow) --------------------------------------------------------
+@q(
+    "hll_sketch_merge_shards",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+           TRUE AS merged_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def hll_sketch_merge_shards(spark, sf_dir):
+    """The stored-sketch pattern at 100 TB: every shard keeps an HLL
+    sketch column (Apache DataSketches, ``hll_sketch_agg``); a reader
+    UNIONS the shard sketches (``hll_union_agg``) instead of
+    re-scanning raw values — distinct-count queries touch kilobytes of
+    sketch instead of the fact table.  Here: sketches built per
+    (priority, orderkey%8) shard, merged per priority, and the merged
+    estimate must sit within the sketch's published error of the exact
+    count (``merged_ok``) — merge-correctness itself is the checked
+    value, the HLL ``approx_ok`` pattern."""
+    o = _t(spark, sf_dir, "orders")
+    shard_sketches = (
+        o.groupBy("o_orderpriority", (F.col("o_orderkey") % 8).alias("_shard"))
+        .agg(F.expr("hll_sketch_agg(CAST(o_custkey AS STRING))").alias("_sk"))
+    )
+    merged = shard_sketches.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(_sk))").alias("_est")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_custs")
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("_est") - F.col("exact_custs"))
+                <= F.greatest(F.lit(3.0), 0.03 * F.col("exact_custs"))
+            ).alias("merged_ok"),
+        )
+    )

@@ -27,6 +27,7 @@ FRONT = [
     # HLL sketch with a checked error bound, explicit GROUPING SETS,
     # C4 cross-document paragraph dedup, duplicated n-gram spans,
     # length histogram, approx-percentile with checked rank bound
+    "hll_sketch_merge_shards",
     "minhash_md5_signature",
     "simhash_md5_fingerprint",
     "pq_encode_literal",
