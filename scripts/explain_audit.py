@@ -140,6 +140,35 @@ def main() -> None:
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    add(
+        "Cross-document paragraph dedup (round 4)",
+        "posexplode lines → ONE row_number window on the line's md5 "
+        "(global first-occurrence winner) → per-doc regroup.  Two "
+        "shuffles total (line-hash, doc_id); the winner rule is "
+        "deterministic under any partitioning (orderBy doc_id, idx).",
+        QUERIES["paragraph_dedup_docs"](spark, SF),
+    )
+
+    add(
+        "Duplicated n-gram spans (round 4, window form)",
+        "Positional 5-gram md5 hashes explode once; ONE gram-hash "
+        "exchange serves both the global count (window) and the "
+        "per-gram rows — no join-back, no second gram shuffle.  "
+        "Adversarial-skew fallback (groupBy+join) documented in the "
+        "query docstring.",
+        QUERIES["duplicate_ngram_spans"](spark, SF),
+    )
+
+    add(
+        "HLL stored-sketch merge (round 4)",
+        "Per-shard hll_sketch_agg (partial ObjectHashAggregate), "
+        "hll_union_agg merge per group — distinct-count reads touch "
+        "sketch bytes, never raw values; both aggregations are "
+        "mergeable partial+final pairs.",
+        QUERIES["hll_sketch_merge_shards"](spark, SF),
+    )
+
     add(
         "MinHash LSH near-dup (carry-shingles verify, round 3)",
         "Bands AND hashed shingle sets come from ONE Arrow-batched numpy "
