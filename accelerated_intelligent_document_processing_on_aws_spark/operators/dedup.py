@@ -288,10 +288,23 @@ def dedup_paragraphs(
     line's md5 — the only shuffle proportional to corpus size — →
     winners regrouped per doc in line order.  Returns
     ``(doc_id, kept_text, n_lines, n_kept)``.  At 10^12 turns the key
-    shuffle moves (hash, doc_id, idx, line) only for NON-EMPTY lines,
-    and a skewed key (a line repeated 10^9×) is bounded by AQE skew
-    splitting since the window only needs the global minimum — not the
-    full group — per key.
+    shuffle moves (hash, doc_id, idx, line) only for NON-EMPTY lines.
+
+    Skew note: window partitions are NOT AQE-splittable (AQE skew
+    mitigation applies to shuffle joins / partition coalescing; a
+    ``row_number`` partition must land whole in one task).  What makes
+    this plan safe for a line repeated 10^9× is Spark's
+    ``WindowGroupLimit`` pushdown: because the query filters
+    ``_rn == 1``, each MAP task pre-filters its partition to one row per
+    key before the exchange, so at most ``num_map_tasks`` rows per key
+    cross the wire.  That safety is shape-dependent — change the filter
+    to ``_rn <= k``, add a tie mode (``rank``), or restructure the
+    orderBy and the pushdown vanishes; ``tests/test_plan_hygiene.py``
+    pins ``WindowGroupLimit`` in this plan so a refactor that loses it
+    goes red.  The shape-independent alternative is
+    ``groupBy(md5).agg(min(struct(_id, _idx)))`` + join back, which is
+    map-side combinable by construction (same pattern the
+    ``duplicate_ngram_spans`` docstring names as its skew fallback).
     """
     from pyspark.sql import Window
 

@@ -1365,12 +1365,18 @@ def simhash_md5_fingerprint(spark, sf_dir):
             F.lit("1"),
         ).otherwise(F.lit("0")),
     )
+    # Empty-doc pin: F.aggregate over an empty array returns the init (0),
+    # making every vote >= 0 → all '1'; DuckDB's list_sum over an empty
+    # list is NULL → CASE false → all '0'.  Pin the zero-token case to the
+    # oracle's all-zeros fingerprint explicitly.
     return (
         docs.select("doc_id", h.alias("_h"))
         .select(
             "doc_id",
             F.size("_h").cast("bigint").alias("n_toks"),
-            F.array_join(bits, "").alias("simhash_bits"),
+            F.when(F.size("_h") == 0, F.lit("0" * 60))
+            .otherwise(F.array_join(bits, ""))
+            .alias("simhash_bits"),
         )
     )
 
@@ -1416,15 +1422,22 @@ def minhash_md5_signature(spark, sf_dir):
     toks = F.filter(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
     )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(F.col("_t")) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("_t"), i),
-            F.element_at(F.col("_t"), i + 1),
-            F.element_at(F.col("_t"), i + 2),
+    # Guard: sequence(1, 0) in Spark steps DOWNWARD ([1, 0]) rather than
+    # yielding empty, so a <3-token doc would index element_at(_t, 0) and
+    # throw INVALID_ARRAY_INDEX before the size(_sh) > 0 filter can drop
+    # it.  Build shingles only when there are >= 3 tokens.
+    shingles = F.when(
+        F.size(F.col("_t")) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_t")) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), i),
+                F.element_at(F.col("_t"), i + 1),
+                F.element_at(F.col("_t"), i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     hmin = lambda i: F.array_min(
         F.transform(
             F.col("_sh"),

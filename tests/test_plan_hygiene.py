@@ -53,6 +53,13 @@ POSITIVE_SHAPES = {
     # state), visible as two HashAggregate levels around one Exchange
     "approx_distinct_hll": ["HashAggregate"],
     "grouping_sets_metrics": ["Expand"],
+    # paragraph dedup's skew safety depends on the WindowGroupLimit
+    # pushdown (the `_rn == 1` filter pre-trims each window partition to
+    # one row per key map-side).  Window partitions are NOT
+    # AQE-splittable, so losing this pushdown — e.g. by switching to
+    # `_rn <= k` or adding a tie mode — turns a 10^9×-repeated line into
+    # a single-task hot spot.  Pin the shape.
+    "paragraph_dedup_docs": ["WindowGroupLimit"],
 }
 
 
