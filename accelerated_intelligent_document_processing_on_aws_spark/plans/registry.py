@@ -19,70 +19,18 @@ from . import analytics, corpus_queries, parity_queries, pipeline_queries
 # Oracle-paired queries with no driver-level correctness evidence yet
 # (registry positions >= 50 in rounds 1-2), plus everything new this
 # round.  These MUST occupy positions 0..len(FRONT)-1.
-FRONT = [
-    # round-4 slot 0: the one red row of round 3 (array<tinyint> column
-    # crashed the driver canonicalizer; now CSV-stringified both sides)
-    "embedding_int8_quantization",
-    # round-4 battery: remaining TPC-H shapes over this fixture schema,
-    # HLL sketch with a checked error bound, explicit GROUPING SETS,
-    # C4 cross-document paragraph dedup, duplicated n-gram spans,
-    # length histogram, approx-percentile with checked rank bound
-    "hll_sketch_merge_shards",
-    "minhash_md5_signature",
-    "simhash_md5_fingerprint",
-    "pq_encode_literal",
-    "array_functions_battery",
-    "except_intersect_shards",
-    "salted_join_hot_key",
-    "rolling_range_window",
-    "upsert_latest_events",
-    "duplicate_ngram_spans",
-    "length_histogram",
-    "approx_percentile_bounds",
-    "paragraph_dedup_docs",
-    "q4_priority_late_exists",
-    "q6_forecast_revenue",
-    "q12_returnflag_case_buckets",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q19_disjunctive_predicates",
-    "q22_idle_customers",
-    "approx_distinct_hll",
-    "grouping_sets_metrics",
-    # round-4 additions: layout tables/forms lift + text-confidence
-    # parity twin (verdict items 5 and 7)
-    "layout_tables_cells",
-    "layout_forms_kv",
-    "layout_table_markdown",
-    "text_confidence_table",
-    # --- regression re-verification (verdict item 2): every remaining
-    # query already has a green row, but the evidence below predates the
-    # round-3 rewrites of its implementation files — ordered
-    # most-rewritten-first (dedup/similarity/textstats/evaluation/
-    # json_extract, then the analytics tuning), oldest-evidence-first.
-    "dedup_exact_groups",
-    "ngram_jaccard_block_pairs",
-    "ann_bruteforce_topk",
-    "embedding_cosine_pairs",
-    "token_counts",
-    "lang_id_pred",
-    "quality_scores",
-    "fingerprint_md5_docs",
-    "kgram_min_fingerprint_docs",
-    "compare_exact_normalized",
-    "compare_numeric_currency",
-    "evaluation_prf_metrics",
-    "fuzzy_levenshtein_pairs",
-    "json_extract_field",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_volume",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q17_small_quantity",
-    "rollup_sales",
-    "cube_order_stats",
+# Round-5 FRONT (verdict item 2 — finish the evidence rotation and
+# clean the ledger).  50 slots total:
+#   [0..26]  the 27 oracle-paired queries whose only green rows are
+#            r1/r2 (oldest evidence first, per the verdict's list);
+#   [27..x]  queries whose implementation changed THIS round (the two
+#            md5-sketch fixes) plus new round-5 oracle-paired queries —
+#            new names are appended to FRONT_R5_NEW as they land;
+#   [tail]   the 12 rows-only entries re-presented so
+#            pipeline_sections_bio finally gets a clean
+#            (post-_stringify_sections) driver row replacing its
+#            r1-era canonicalizer error.
+FRONT_STALE_R1R2 = [
     "star_join_regional_sales",
     "supplier_lineitem_rollup",
     "topk_customers_by_spend",
@@ -105,7 +53,43 @@ FRONT = [
     "sequence_explode_ranges",
     "majority_vote_mode",
     "min_normalized_index",
+    "window_lag_lead",
+    "row_number_ordinals",
+    "chunk_counts",
+    "summarize_head_tokens",
+    "csv_markdown_rows",
 ]
+
+# Implementations touched in round 5 → must be re-presented even though
+# they carry green r4 rows (shingle guard / empty-doc pin).
+FRONT_R5_CHANGED = [
+    "minhash_md5_signature",
+    "simhash_md5_fingerprint",
+]
+
+# New round-5 oracle-paired queries: append here as they are added.
+FRONT_R5_NEW = []
+
+# Rows-only re-presentation block — MUST stay exactly 12 names and sit
+# at the FRONT tail (driver slots 38..49 when the middle blocks fill).
+FRONT_ROWS_ONLY_TAIL = [
+    "pipeline_extract_turns",
+    "pipeline_sections_bio",
+    "pipeline_sections_majority",
+    "pipeline_lineage",
+    "pipeline_confidence_alerts",
+    "pipeline_section_text",
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_rerank_topk",
+    "pipeline_evaluation_report",
+]
+
+FRONT = (
+    FRONT_STALE_R1R2 + FRONT_R5_CHANGED + FRONT_R5_NEW + FRONT_ROWS_ONLY_TAIL
+)
 
 _ALL: dict = {}
 _ORACLE_SQL: dict = {}

