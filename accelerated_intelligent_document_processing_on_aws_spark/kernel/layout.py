@@ -75,6 +75,13 @@ def extract_spans(payload: str) -> tuple[str, list[Span]]:
     recs = parse_layout(payload)
     if recs is None:
         raise ValueError("not a layout payload")
+    return extract_spans_recs(recs)
+
+
+def extract_spans_recs(recs: list[dict]) -> tuple[str, list[Span]]:
+    """:func:`extract_spans` on ALREADY-PARSED line records — the hot
+    path entry used by ``kernel/oracle.py`` so the sniff's parse is
+    reused instead of ``json.loads``-ing every layout payload twice."""
     ordered = _reading_order(recs)
     parts: list[str] = []
     spans: list[Span] = []

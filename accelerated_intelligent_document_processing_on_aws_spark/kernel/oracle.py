@@ -16,7 +16,7 @@ from __future__ import annotations
 from .classify import classify_turn
 from .confidence import score_confidence
 from .html_extract import strip_boilerplate
-from .layout import extract_spans, parse_layout, plain_spans
+from .layout import extract_spans_recs, parse_layout, plain_spans
 
 Span = tuple[int, int, str, float]
 
@@ -42,13 +42,21 @@ def extract_turn_raw(
     directly into flat struct arrays, so no per-span dict is ever
     built.  :func:`extract_turn` is the dict-shaped wrapper."""
     text = text or ""
-    kind = sniff_payload_kind(text)
-    if kind == KIND_HTML:
+    # inline sniff so the layout branch parses the payload ONCE —
+    # sniff_payload_kind + extract_spans would each json.loads it
+    # (the parse was ~25% of the layout leg; this halves that)
+    s = text.lstrip()
+    if s.startswith("<"):
+        kind = KIND_HTML
         extracted, spans = strip_boilerplate(text)
-    elif kind == KIND_LAYOUT:
-        extracted, spans = extract_spans(text)
     else:
-        extracted, spans = plain_spans(text)
+        recs = parse_layout(s) if s.startswith("[") else None
+        if recs is not None:
+            kind = KIND_LAYOUT
+            extracted, spans = extract_spans_recs(recs)
+        else:
+            kind = KIND_PLAIN
+            extracted, spans = plain_spans(text)
     cls, boundary = classify_turn(extracted, role, tool)
     conf = score_confidence(extracted, spans)
     return extracted, spans, cls, boundary, conf, kind

@@ -1,0 +1,416 @@
+"""Arrow-native vectorized signature hashing for the dedup sketches.
+
+Round-4 profiling showed the MinHash/SimHash signature pandas UDFs
+(`operators/dedup.py`) bound by per-document Python work: tokenize
+(`str.split`), per-shingle string join, and one `blake2b` call per
+distinct shingle — the numpy remix/min that follows was already
+vectorized.  This module removes the per-document Python loop entirely:
+
+- tokenization runs in Arrow C++ (`utf8_lower` + `utf8_split_whitespace`)
+  over the whole batch;
+- token hashing is a batched polynomial hash over the flat UTF-8 byte
+  buffer (power-table + ``np.add.reduceat`` segment sums, murmur3
+  fmix64 finalizer) — zero per-string Python;
+- word-n-gram (shingle) hashes derive from the token hashes by a
+  Horner fold over ``n`` shifted views — shingle STRINGS are never
+  materialized (a token tuple determines the joined string, so
+  distinct-by-gram-hash == distinct-by-shingle-string w.h.p.);
+- per-document distinct/sort, the K-minhash ``min``, the FNV band fold,
+  and the SimHash ±TF bit votes are all segment operations
+  (``lexsort`` + boundary masks + ``reduceat``) over the flat batch.
+
+The hash family therefore changes from blake2b-64 to
+``fmix64(polyhash)`` — both are engine-internal (the production sketch
+queries are rows-only; cross-engine sketch semantics are separately
+hash-checked by the md5 variants in ``plans/corpus_queries.py``).  The
+per-document REFERENCE implementation of the same family lives below
+(``ref_*``) and the equivalence gate (``tests/test_sighash_equiv.py``)
+asserts the vectorized batch path reproduces it byte-for-byte, the same
+pattern as the HTML tokenizer's find-dispatch gate.
+
+Reference parity target: the reference pipeline's per-document hashing
+(idp_common/classification/service.py page-hash dispatch) is a
+correctness analog only; no code shared.
+
+Scale note: everything here is per-Arrow-batch (bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``); peak temporaries are
+capped by ``_CHUNK_BYTES``/``_CHUNK_TOKENS`` sub-batching, so executor
+memory is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MAX_LONG = 9223372036854775807
+_M64 = (1 << 64) - 1
+
+P = np.uint64(1099511628211)  # FNV prime (odd): polyhash base
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+FNV_OFF = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+_CHUNK_BYTES = 1 << 22  # max flat string bytes hashed per sub-batch
+_CHUNK_TOKENS = 1 << 17  # max distinct tokens per simhash vote sub-batch
+
+
+# ---------------------------------------------------------------------------
+# hash family — vectorized + scalar reference
+# ---------------------------------------------------------------------------
+
+def fmix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 64-bit finalizer, vectorized over uint64 (wraps mod 2^64)."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= _FMIX1
+    h ^= h >> np.uint64(33)
+    h *= _FMIX2
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def ref_fmix64(h: int) -> int:
+    h &= _M64
+    h ^= h >> 33
+    h = (h * int(_FMIX1)) & _M64
+    h ^= h >> 33
+    h = (h * int(_FMIX2)) & _M64
+    h ^= h >> 33
+    return h
+
+
+def ref_token_hash(tok: str) -> int:
+    """Horner polyhash over UTF-8 bytes (b+1 so trailing NULs count),
+    fmix64-finalized.  The scalar definition the batch path must match."""
+    h = 0
+    for b in tok.encode("utf-8"):
+        h = (h * int(P) + b + 1) & _M64
+    return ref_fmix64(h)
+
+
+def ref_gram_hash(token_hashes: list[int]) -> int:
+    """Horner fold of consecutive token hashes, fmix64-finalized."""
+    h = 0
+    for t in token_hashes:
+        h = (h * int(P) + t) & _M64
+    return ref_fmix64(h)
+
+
+def remix_params(num_hashes: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """The universal-remix (a_i h + b_i) coefficients — generation kept
+    IDENTICAL to the round-1 UDFs so seeds stay comparable."""
+    rng = np.random.RandomState(seed)
+    A = (
+        rng.randint(1, _MAX_LONG, size=num_hashes).astype(np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    B = rng.randint(0, _MAX_LONG, size=num_hashes).astype(np.uint64)
+    return A, B
+
+
+# ---------------------------------------------------------------------------
+# batched string hashing
+# ---------------------------------------------------------------------------
+
+def _string_parts(sa: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat uint8 data, starts, ends) of a non-large StringArray."""
+    buf_off, buf_dat = sa.buffers()[1], sa.buffers()[2]
+    offs = np.frombuffer(buf_off, dtype=np.int32)
+    starts = offs[sa.offset : sa.offset + len(sa)].astype(np.int64)
+    ends = offs[sa.offset + 1 : sa.offset + 1 + len(sa)].astype(np.int64)
+    data = (
+        np.frombuffer(buf_dat, dtype=np.uint8)
+        if buf_dat is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, starts, ends
+
+
+def hash_strings(sa: pa.Array) -> np.ndarray:
+    """uint64 hash per string (``ref_token_hash`` semantics), vectorized:
+    per-byte contributions ``(b+1) * P^(len-1-pos)`` summed per string
+    with ``np.add.reduceat``, then fmix64.  Sub-batched so temporaries
+    stay under ~32x ``_CHUNK_BYTES``."""
+    data, starts, ends = _string_parts(sa)
+    n = starts.size
+    raw = np.zeros(n, np.uint64)
+    lens = ends - starts
+    sel = np.flatnonzero(lens > 0)
+    if sel.size:
+        ls = lens[sel]
+        maxlen = int(ls.max())
+        pows = np.empty(maxlen, np.uint64)
+        pows[0] = np.uint64(1)
+        if maxlen > 1:
+            np.multiply.accumulate(np.full(maxlen - 1, P, np.uint64), out=pows[1:])
+        csum = np.cumsum(ls)
+        lo = 0
+        while lo < sel.size:
+            hi = int(np.searchsorted(csum, (csum[lo - 1] if lo else 0) + _CHUNK_BYTES))
+            hi = max(hi, lo + 1)
+            ss, ll = sel[lo:hi], ls[lo:hi]
+            total = int(ll.sum())
+            seg = np.concatenate(([0], np.cumsum(ll)[:-1]))
+            within = np.arange(total, dtype=np.int64) - np.repeat(seg, ll)
+            byte_pos = np.repeat(starts[ss], ll) + within
+            exps = np.repeat(ll, ll) - 1 - within
+            contrib = (data[byte_pos].astype(np.uint64) + np.uint64(1)) * pows[exps]
+            raw[ss] = np.add.reduceat(contrib, seg)
+            lo = hi
+    return fmix64(raw)
+
+
+def tokenize_hash_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Batch → (flat uint64 token hashes in row order, int64 per-row
+    token counts).  Tokens: unicode lower, whitespace split, empties
+    dropped (Arrow's split emits boundary empties; they are filtered
+    here).  Null rows get count 0."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nrows = len(toks)
+    if nrows == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    loffs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + nrows + 1
+    ].astype(np.int64)
+    flat = toks.values
+    counts_all = np.diff(loffs)
+    base = loffs[0]
+    data, fstarts, fends = _string_parts(flat)
+    # token slice of the child array relevant to this list slice
+    tstarts = fstarts[base : loffs[-1]]
+    tends = fends[base : loffs[-1]]
+    tlens = tends - tstarts
+    h_all = hash_strings(flat.slice(base, loffs[-1] - base))
+    keep = tlens > 0
+    rid = np.repeat(np.arange(nrows, dtype=np.int64), counts_all)
+    th = h_all[keep]
+    counts = np.bincount(rid[keep], minlength=nrows).astype(np.int64)
+    return th, counts
+
+
+# ---------------------------------------------------------------------------
+# grams / distinct / signatures
+# ---------------------------------------------------------------------------
+
+def gram_hashes_batch(
+    th: np.ndarray, counts: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram hashes per row (flat, row order).  Rows with
+    ``0 < count < n`` yield ONE whole-row gram (matching
+    ``shingles()``/``_py_shingle_set`` semantics); empty rows yield 0."""
+    nrows = counts.size
+    starts_d = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    out_counts = np.where(
+        counts >= n, counts - n + 1, np.where(counts > 0, 1, 0)
+    ).astype(np.int64)
+    out_starts = np.concatenate(([0], np.cumsum(out_counts)[:-1]))
+    out = np.empty(int(out_counts.sum()), np.uint64)
+    total = th.size
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts_d, counts)
+        cnt_rep = np.repeat(counts, counts)
+        valid = (within <= cnt_rep - n) & (cnt_rep >= n)
+        idx = np.flatnonzero(valid)
+        if idx.size:
+            acc = np.zeros(idx.size, np.uint64)
+            for k in range(n):
+                acc = acc * P + th[idx + k]
+            rid_rep = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+            out[out_starts[rid_rep[idx]] + within[idx]] = fmix64(acc)
+    for c in range(1, n):
+        rows = np.flatnonzero(counts == c)
+        if rows.size:
+            mat = th[starts_d[rows][:, None] + np.arange(c)]
+            acc = np.zeros(rows.size, np.uint64)
+            for k in range(c):
+                acc = acc * P + mat[:, k]
+            out[out_starts[rows]] = fmix64(acc)
+    return out, out_counts
+
+
+def dedup_sorted_per_row(
+    vals: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row distinct+ascending-sort of a flat segmented uint64 array
+    (lexsort + adjacent-equal mask — no per-row Python)."""
+    nrows = counts.size
+    rid = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    order = np.lexsort((vals, rid))
+    v, r = vals[order], rid[order]
+    keep = np.ones(v.size, bool)
+    if v.size:
+        keep[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+    v2, r2 = v[keep], r[keep]
+    return v2, np.bincount(r2, minlength=nrows).astype(np.int64)
+
+
+def _weighted_distinct_per_row(
+    vals: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(distinct vals, per-distinct multiplicity, per-row distinct
+    counts) — the SimHash TF weights."""
+    nrows = counts.size
+    rid = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    order = np.lexsort((vals, rid))
+    v, r = vals[order], rid[order]
+    first = np.ones(v.size, bool)
+    if v.size:
+        first[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
+    gid = np.cumsum(first) - 1
+    w = np.bincount(gid).astype(np.int64) if v.size else np.empty(0, np.int64)
+    v2, r2 = v[first], r[first]
+    return v2, w, np.bincount(r2, minlength=nrows).astype(np.int64)
+
+
+def minhash_sig_bands(
+    grams: np.ndarray,
+    gcounts: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    bands: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(band hashes (m, bands) int64, row index of each m) for rows with
+    >= 1 gram.  sig_k = min over row grams of (g*A_k + B_k); band hash =
+    FNV-1a fold of the band's rows — constants identical to the round-1
+    UDFs."""
+    num_hashes = A.size
+    rows_per_band = num_hashes // bands
+    sel = np.flatnonzero(gcounts > 0)
+    if not sel.size:
+        return np.empty((0, bands), np.int64), sel
+    gs = np.concatenate(([0], np.cumsum(gcounts)[:-1]))[sel]
+    sig = np.empty((sel.size, num_hashes), np.uint64)
+    for k in range(num_hashes):
+        sig[:, k] = np.minimum.reduceat(grams * A[k] + B[k], gs)
+    s3 = sig.reshape(sel.size, bands, rows_per_band)
+    bh = np.full((sel.size, bands), FNV_OFF, np.uint64)
+    for r in range(rows_per_band):
+        bh = (bh ^ s3[:, :, r]) * FNV_PRIME
+    return bh.view(np.int64), sel
+
+
+def minhash_bands_batch(
+    texts: pa.Array,
+    shingle_n: int,
+    A: np.ndarray,
+    B: np.ndarray,
+    bands: int,
+    want_shingles: bool = False,
+) -> tuple[list, list]:
+    """Full batch pipeline: texts → (bands per row | None,
+    sorted-distinct gram hashes per row as int64 | None)."""
+    th, counts = tokenize_hash_batch(texts)
+    grams, gcounts = gram_hashes_batch(th, counts, shingle_n)
+    v2, c2 = dedup_sorted_per_row(grams, gcounts)
+    bh, sel = minhash_sig_bands(v2, c2, A, B, bands)
+    nrows = counts.size
+    out_b: list = [None] * nrows
+    for i, row in enumerate(sel):
+        out_b[row] = bh[i]
+    out_s: list = [None] * nrows
+    if want_shingles:
+        starts2 = np.concatenate(([0], np.cumsum(c2)[:-1]))
+        sh64 = v2.view(np.int64)
+        for row in sel:
+            out_s[row] = sh64[starts2[row] : starts2[row] + c2[row]]
+    return out_b, out_s
+
+
+def simhash_batch(texts: pa.Array) -> list:
+    """texts → 64-bit SimHash per row (python int, None for token-less
+    rows).  TF-weighted ±1 votes per bit; bit set when vote sum > 0 —
+    identical semantics to the round-1 UDF, new base hash family."""
+    th, counts = tokenize_hash_batch(texts)
+    v2, w, c2 = _weighted_distinct_per_row(th, counts)
+    nrows = counts.size
+    out: list = [None] * nrows
+    sel = np.flatnonzero(c2 > 0)
+    if not sel.size:
+        return out
+    gs = np.concatenate(([0], np.cumsum(c2)[:-1]))
+    lo = 0
+    csum = np.cumsum(c2[sel])
+    while lo < sel.size:
+        hi = int(
+            np.searchsorted(csum, (csum[lo - 1] if lo else 0) + _CHUNK_TOKENS)
+        )
+        hi = max(hi, lo + 1)
+        rows = sel[lo:hi]
+        a, b = gs[rows[0]], gs[rows[-1]] + c2[rows[-1]]
+        vv, ww = v2[a:b], w[a:b]
+        bits = np.unpackbits(
+            vv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        votes = np.add.reduceat(
+            bits * (2 * ww[:, None]) - ww[:, None], gs[rows] - a, axis=0
+        )
+        packed = np.packbits(votes > 0, axis=1, bitorder="little").view(np.uint64)[
+            :, 0
+        ]
+        for i, row in enumerate(rows):
+            p = int(packed[i])
+            out[row] = p - (1 << 64) if p >= (1 << 63) else p
+        lo = hi
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-document reference pipeline (the equivalence-gate oracle)
+# ---------------------------------------------------------------------------
+
+def ref_tokens(text: str | None) -> list[str]:
+    return text.lower().split() if text else []
+
+
+def ref_gram_hash_set(text: str | None, n: int) -> list[int]:
+    """Sorted distinct gram hashes (uint64 ints) of one document."""
+    ths = [ref_token_hash(t) for t in ref_tokens(text)]
+    if not ths:
+        return []
+    if len(ths) < n:
+        grams = {ref_gram_hash(ths)}
+    else:
+        grams = {ref_gram_hash(ths[i : i + n]) for i in range(len(ths) - n + 1)}
+    return sorted(grams)
+
+
+def ref_minhash_bands_doc(
+    text: str | None, n: int, A: np.ndarray, B: np.ndarray, bands: int
+) -> list[int] | None:
+    grams = ref_gram_hash_set(text, n)
+    if not grams:
+        return None
+    num_hashes = A.size
+    rows_per_band = num_hashes // bands
+    sig = [
+        min((g * int(A[k]) + int(B[k])) & _M64 for g in grams)
+        for k in range(num_hashes)
+    ]
+    out = []
+    for b in range(bands):
+        h = int(FNV_OFF)
+        for r in range(rows_per_band):
+            h = ((h ^ sig[b * rows_per_band + r]) * int(FNV_PRIME)) & _M64
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return out
+
+
+def ref_simhash_doc(text: str | None) -> int | None:
+    from collections import Counter
+
+    counts = Counter(ref_tokens(text))
+    if not counts:
+        return None
+    votes = [0] * 64
+    for tok, w in counts.items():
+        h = ref_token_hash(tok)
+        for j in range(64):
+            votes[j] += w if (h >> j) & 1 else -w
+    fp = sum(1 << j for j in range(64) if votes[j] > 0)
+    return fp - (1 << 64) if fp >= (1 << 63) else fp

@@ -8,12 +8,17 @@
 - n-gram Jaccard: set overlap of distinct token shingles per pair.
 - embedding near-dup: cosine over candidate pairs (blocked or brute).
 
-**Signature computation is an Arrow-batched numpy pandas UDF** (one
-hash per shingle, K minhashes derived by a vectorized universal remix).
-Round 1 computed signatures as pure-Catalyst ``aggregate``/``zip_with``
-lambdas with 32-64 ``xxhash64`` calls per element; higher-order-function
-lambdas are NOT whole-stage-codegen'd, so that path ran interpreted
-per shingle (~16 ms/doc — 81 s for 5 000 docs in the round-1 bench).
+**Signature computation is fully vectorized** (round 5): the pandas
+UDFs below delegate every per-document step — tokenize, token/shingle
+hashing, distinct, K-minhash min, band fold, SimHash bit votes — to the
+Arrow/numpy batch kernel in :mod:`..kernel.sighash` (zero per-document
+Python; equivalence-gated against a per-document reference of the same
+hash family by ``tests/test_sighash_equiv.py``).  History: round 1
+computed signatures as pure-Catalyst ``aggregate``/``zip_with`` lambdas
+with 32-64 ``xxhash64`` calls per element (higher-order-function
+lambdas are NOT whole-stage-codegen'd → ~16 ms/doc interpreted);
+rounds 2-4 used a per-document Python loop with one blake2b per
+distinct shingle (the numpy remix was vectorized, the hashing was not).
 The Catalyst expressions are kept below as the no-Python fallback and
 as documentation of the algebra; the UDFs are the default path.
 
@@ -25,9 +30,8 @@ of CANDIDATE ids only (semi-join pushes the id filter to the scan).
 
 from __future__ import annotations
 
-from hashlib import blake2b
-
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -53,77 +57,33 @@ def shingles(tok: Column, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# python twins of tokens()/shingles() for the vectorized signature UDFs
-# (same semantics: lowercase, whitespace split, distinct n-grams,
-#  whole-text shingle when shorter than n)
+# vectorized signature UDFs (Arrow/numpy batch kernel: kernel/sighash.py)
 # ---------------------------------------------------------------------------
-
-def _py_tokens(text: str) -> list[str]:
-    return text.lower().split() if text else []
-
-
-def _py_shingle_set(text: str, n: int) -> set[str]:
-    toks = _py_tokens(text)
-    if not toks:
-        return set()
-    if len(toks) < n:
-        return {" ".join(toks)}
-    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-
-
-def _hash64(s: str) -> int:
-    """Stable 64-bit content hash (blake2b truncation): deterministic
-    across runs/processes, unlike builtin ``hash``."""
-    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
-
 
 def minhash_band_hashes_udf(
     shingle_n: int = 3, num_hashes: int = 32, bands: int = 8, seed: int = 1
 ):
     """text → array<long> of ``bands`` LSH band hashes, Arrow-batched.
 
-    Each shingle is hashed ONCE (blake2b-64, memoized per batch); the K
-    minhashes derive from that base hash by a vectorized universal remix
-    ``(a_i * h + b_i) mod 2^64`` — one (shingles × K) numpy min instead
-    of K interpreted hash calls per shingle.  Band hash = FNV-1a fold of
-    the band's ``rows`` signature values.  Returns NULL for empty text.
-    """
-    import numpy as np
+    All per-document work happens in the vectorized batch kernel
+    (:func:`..kernel.sighash.minhash_bands_batch`): Arrow C++ tokenize,
+    batched polyhash+fmix64 token hashes, Horner n-gram fold, segmented
+    distinct, K-minhash universal remix min, FNV band fold.  Returns
+    NULL for token-less text.  Semantics (lowercase, whitespace split,
+    whole-doc shingle below ``shingle_n`` tokens) equivalence-gated per
+    document by tests/test_sighash_equiv.py."""
+    from ..kernel import sighash
     from pyspark.sql.functions import pandas_udf
 
-    rows = num_hashes // bands
-    if rows * bands != num_hashes:
+    if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rng = np.random.RandomState(seed)
-    A = (rng.randint(1, _MAX_LONG, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
-    B = rng.randint(0, _MAX_LONG, size=num_hashes).astype(np.uint64)
-    FNV_OFF = np.uint64(14695981039346656037)
-    FNV_PRIME = np.uint64(1099511628211)
+    A, B = sighash.remix_params(num_hashes, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _bands(texts: pd.Series) -> pd.Series:
-        memo: dict[str, int] = {}
-        out = []
-        err = np.seterr(over="ignore")  # uint64 wraparound is the remix
-        try:
-            for text in texts:
-                shs = _py_shingle_set(text, shingle_n)
-                if not shs:
-                    out.append(None)
-                    continue
-                hs = np.fromiter(
-                    (memo.setdefault(s, _hash64(s)) for s in shs),
-                    dtype=np.uint64,
-                    count=len(shs),
-                )
-                sig = (hs[:, None] * A + B).min(axis=0)  # (num_hashes,)
-                bh = np.full(bands, FNV_OFF, dtype=np.uint64)
-                for r in range(rows):
-                    bh = (bh ^ sig.reshape(bands, rows)[:, r]) * FNV_PRIME
-                out.append(bh.view(np.int64))
-        finally:
-            np.seterr(**err)
-        return pd.Series(out)
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+        out_b, _ = sighash.minhash_bands_batch(arr, shingle_n, A, B, bands)
+        return pd.Series(out_b, dtype="object")
 
     return _bands
 
@@ -133,25 +93,21 @@ def minhash_bands_shingles_udf(
 ):
     """text → struct<bands: array<long>, sh: array<long>> — the band
     hashes of :func:`minhash_band_hashes_udf` PLUS the sorted distinct
-    64-bit shingle hashes, computed in the same numpy pass (the shingle
-    hash vector is the signature's input; emitting it costs nothing).
+    64-bit shingle hashes from the same batch pass (the gram-hash
+    vector is the signature's input; emitting it costs nothing).
 
     Jaccard over the hash sets equals Jaccard over the string shingle
-    sets (blake2b-64 collisions are ~n²·2⁻⁶⁴ — negligible at any
+    sets (a shingle string is determined by its token tuple, and
+    fmix64(polyhash) collisions are ~n²·2⁻⁶⁴ — negligible at any
     realistic per-doc shingle count), so the exact verify can run on
     these compact int64 arrays without ever touching the text again.
-    Returns NULL for empty text."""
-    import numpy as np
+    Returns NULL for token-less text."""
+    from ..kernel import sighash
     from pyspark.sql.functions import pandas_udf
 
-    rows = num_hashes // bands
-    if rows * bands != num_hashes:
+    if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rng = np.random.RandomState(seed)
-    A = (rng.randint(1, _MAX_LONG, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
-    B = rng.randint(0, _MAX_LONG, size=num_hashes).astype(np.uint64)
-    FNV_OFF = np.uint64(14695981039346656037)
-    FNV_PRIME = np.uint64(1099511628211)
+    A, B = sighash.remix_params(num_hashes, seed)
     out_type = T.StructType(
         [
             T.StructField("bands", T.ArrayType(T.LongType())),
@@ -161,69 +117,29 @@ def minhash_bands_shingles_udf(
 
     @pandas_udf(out_type)
     def _bands_sh(texts: pd.Series) -> pd.DataFrame:
-        memo: dict[str, int] = {}
-        out_b, out_s = [], []
-        err = np.seterr(over="ignore")
-        try:
-            for text in texts:
-                shs = _py_shingle_set(text, shingle_n)
-                if not shs:
-                    out_b.append(None)
-                    out_s.append(None)
-                    continue
-                hs = np.fromiter(
-                    (memo.setdefault(s, _hash64(s)) for s in shs),
-                    dtype=np.uint64,
-                    count=len(shs),
-                )
-                sig = (hs[:, None] * A + B).min(axis=0)
-                bh = np.full(bands, FNV_OFF, dtype=np.uint64)
-                for r in range(rows):
-                    bh = (bh ^ sig.reshape(bands, rows)[:, r]) * FNV_PRIME
-                out_b.append(bh.view(np.int64))
-                out_s.append(np.sort(np.unique(hs)).view(np.int64))
-        finally:
-            np.seterr(**err)
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+        out_b, out_s = sighash.minhash_bands_batch(
+            arr, shingle_n, A, B, bands, want_shingles=True
+        )
         return pd.DataFrame({"bands": out_b, "sh": out_s})
 
     return _bands_sh
 
 
 def simhash64_udf():
-    """text → 64-bit SimHash fingerprint (long), Arrow-batched numpy.
+    """text → 64-bit SimHash fingerprint (long), Arrow-batched.
 
-    Term-frequency-weighted bit votes: each distinct token hashed once,
-    its 64 bits unpacked with ``np.unpackbits`` and voted ±count."""
-    import numpy as np
+    Term-frequency-weighted bit votes over distinct token hashes, fully
+    vectorized in :func:`..kernel.sighash.simhash_batch` (segmented
+    lexsort distinct + unpackbits votes + reduceat sums).  NULL for
+    token-less text."""
+    from ..kernel import sighash
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.LongType())
     def _fp(texts: pd.Series) -> pd.Series:
-        from collections import Counter
-
-        memo: dict[str, int] = {}
-        out = []
-        for text in texts:
-            counts = Counter(_py_tokens(text))
-            if not counts:
-                out.append(None)
-                continue
-            hs = np.fromiter(
-                (memo.setdefault(t, _hash64(t)) for t in counts),
-                dtype=np.uint64,
-                count=len(counts),
-            )
-            w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-            # (n, 64) bit matrix, little-endian bit order to match 1 << i
-            bits = np.unpackbits(
-                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            ).astype(np.int64)
-            votes = (bits * (2 * w[:, None]) - w[:, None]).sum(axis=0)
-            packed = int.from_bytes(
-                np.packbits(votes > 0, bitorder="little").tobytes(), "little"
-            )
-            out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
-        return pd.Series(out, dtype="object")
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+        return pd.Series(sighash.simhash_batch(arr), dtype="object")
 
     return _fp
 
@@ -339,6 +255,68 @@ def dedup_paragraphs(
         .where(F.length(F.trim(F.col("_line"))) >= min_chars)
         .groupBy("_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    return (
+        totals.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def dedup_paragraphs_groupby(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """The shape-independent twin of :func:`dedup_paragraphs` — same
+    result, different physical strategy for adversarially skewed line
+    keys.
+
+    Plan: ``groupBy(line_md5).agg(min(struct(doc_id, idx)))`` finds each
+    line's global first occurrence with a MAP-SIDE-COMBINABLE partial
+    aggregate (a line repeated 10^9× collapses to one row per map task
+    before the exchange, by aggregation algebra — not by a
+    filter-shape-dependent pushdown), then an inner join back on
+    ``(key, doc_id, idx)`` picks the winner rows.  Costs one extra
+    exchange versus the window form (the join-back re-shuffles the
+    lines by key) but the join is AQE-skew-splittable, so it is the
+    right choice when the key histogram is unknown or hostile; the
+    window form (one exchange, ``WindowGroupLimit``-guarded) wins on
+    benign corpora.  Both are registry queries against the same SQL
+    oracle, so their equivalence is driver-checked."""
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_line"),
+    ).where(F.length(F.trim(F.col("_line"))) >= min_chars)
+    keyed = lines.withColumn("_k", F.md5(F.lower(F.trim(F.col("_line")))))
+    winners = keyed.groupBy("_k").agg(
+        F.min(F.struct(F.col("_id"), F.col("_idx"))).alias("_w")
+    )
+    kept = keyed.join(winners, "_k").where(
+        (F.col("_id") == F.col("_w._id")) & (F.col("_idx") == F.col("_w._idx"))
+    )
+    per_doc = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_idx"), F.col("_line")))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("kept_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
     )
     return (
         totals.join(per_doc, "_id", "left")

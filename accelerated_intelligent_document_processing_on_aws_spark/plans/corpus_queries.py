@@ -1030,6 +1030,47 @@ def paragraph_dedup_docs(spark, sf_dir):
     return dedup.dedup_paragraphs(docs, "doc_id", "text", min_chars=1)
 
 
+@q(
+    "paragraph_dedup_groupby_docs",
+    # same oracle as paragraph_dedup_docs: the two physical strategies
+    # must produce identical results
+    """
+    WITH lines AS (
+      SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), nonempty AS (
+      SELECT doc_id, idx, line, md5(lower(trim(line))) AS k
+      FROM lines WHERE length(trim(line)) >= 1
+    ), winners AS (
+      SELECT doc_id, idx, line,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, idx) AS rn
+      FROM nonempty
+    )
+    SELECT n.doc_id,
+           COALESCE(w.kept_text, '') AS kept_text,
+           n.n_lines,
+           COALESCE(w.n_kept, 0) AS n_kept
+    FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM nonempty GROUP BY doc_id) n
+    LEFT JOIN (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY idx) AS kept_text,
+                      CAST(COUNT(*) AS BIGINT) AS n_kept
+               FROM winners WHERE rn = 1 GROUP BY doc_id) w
+      ON n.doc_id = w.doc_id
+    """,
+)
+def paragraph_dedup_groupby_docs(spark, sf_dir):
+    """The skew-robust paragraph-dedup strategy: map-side-combinable
+    ``groupBy(key).agg(min(struct))`` + AQE-splittable join-back instead
+    of the window/``WindowGroupLimit`` form — same oracle SQL as
+    ``paragraph_dedup_docs``, so the driver certifies the two physical
+    plans equivalent.  See
+    :func:`...operators.dedup.dedup_paragraphs_groupby`."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_paragraphs_groupby(docs, "doc_id", "text", min_chars=1)
+
+
 # -- duplicated n-gram span fraction (substring-dedup approximation) --------
 @q(
     "duplicate_ngram_spans",

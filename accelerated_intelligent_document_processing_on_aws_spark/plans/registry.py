@@ -68,7 +68,9 @@ FRONT_R5_CHANGED = [
 ]
 
 # New round-5 oracle-paired queries: append here as they are added.
-FRONT_R5_NEW = []
+FRONT_R5_NEW = [
+    "paragraph_dedup_groupby_docs",
+]
 
 # Rows-only re-presentation block — MUST stay exactly 12 names and sit
 # at the FRONT tail (driver slots 38..49 when the middle blocks fill).
