@@ -54,7 +54,6 @@ FNV_OFF = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
 
 _CHUNK_BYTES = 1 << 22  # max flat string bytes hashed per sub-batch
-_CHUNK_TOKENS = 1 << 17  # max distinct tokens per simhash vote sub-batch
 
 
 # ---------------------------------------------------------------------------
@@ -162,35 +161,122 @@ def hash_strings(sa: pa.Array) -> np.ndarray:
     return fmix64(raw)
 
 
+# Unicode whitespace at the UTF-8 byte level — EXACTLY Python
+# str.isspace()/str.split() semantics.  ASCII singles (incl. the
+# \x1c-\x1f file separators Python splits on), then the multi-byte
+# sequences.  Lead bytes 0xC2/0xE1/0xE2/0xE3 can never be continuation
+# bytes, so the shifted-comparison matches cannot fire inside another
+# character.
+_WS1 = np.zeros(256, bool)
+for _b in (9, 10, 11, 12, 13, 28, 29, 30, 31, 32):
+    _WS1[_b] = True
+
+
+def _whitespace_mask(data: np.ndarray) -> np.ndarray:
+    """Boolean mask over a UTF-8 byte buffer: True for every byte of a
+    whitespace character (Python str.split set)."""
+    ws = _WS1[data]
+    if data.size >= 2:
+        b0, b1 = data[:-1], data[1:]
+        m2 = (b0 == 0xC2) & ((b1 == 0x85) | (b1 == 0xA0))  # U+0085, U+00A0
+        ws[:-1] |= m2
+        ws[1:] |= m2
+    if data.size >= 3:
+        b0, b1, b2 = data[:-2], data[1:-1], data[2:]
+        m3 = (b0 == 0xE1) & (b1 == 0x9A) & (b2 == 0x80)  # U+1680
+        m3 |= (
+            (b0 == 0xE2)
+            & (b1 == 0x80)
+            & (((b2 >= 0x80) & (b2 <= 0x8A)) | (b2 == 0xA8) | (b2 == 0xA9) | (b2 == 0xAF))
+        )  # U+2000-200A, U+2028, U+2029, U+202F
+        m3 |= (b0 == 0xE2) & (b1 == 0x81) & (b2 == 0x9F)  # U+205F
+        m3 |= (b0 == 0xE3) & (b1 == 0x80) & (b2 == 0x80)  # U+3000
+        ws[:-2] |= m3
+        ws[1:-1] |= m3
+        ws[2:] |= m3
+    return ws
+
+
 def tokenize_hash_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Batch → (flat uint64 token hashes in row order, int64 per-row
-    token counts).  Tokens: unicode lower, whitespace split, empties
-    dropped (Arrow's split emits boundary empties; they are filtered
-    here).  Null rows get count 0."""
+    token counts).  Tokens: unicode lower (Arrow C++), whitespace split
+    with PYTHON str.split() semantics.  Null rows get count 0.
+
+    The split is a vectorized numpy pass over the lowered UTF-8 byte
+    buffer — NOT Arrow's ``utf8_split_whitespace``: pyarrow 16.1's
+    split kernel returns wrong boundaries on some inputs depending on
+    the (allocator-state-dependent) alignment of the utf8_lower output
+    buffer — observed as a trailing ``\\r`` NOT being split, same input
+    + same call, different heap history (regression-pinned in
+    tests/test_sighash_equiv.py::test_arrow_split_bug_sequence).  The
+    byte-level splitter is deterministic, and as a bonus matches Python
+    semantics exactly (Arrow's Unicode White_Space excluded
+    \\x1c-\\x1f).
+    """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    nrows = len(toks)
+    low = pc.utf8_lower(texts)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    nrows = len(low)
     if nrows == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    loffs = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
-        toks.offset : toks.offset + nrows + 1
-    ].astype(np.int64)
-    flat = toks.values
-    counts_all = np.diff(loffs)
-    base = loffs[0]
-    data, fstarts, fends = _string_parts(flat)
-    # token slice of the child array relevant to this list slice
-    tstarts = fstarts[base : loffs[-1]]
-    tends = fends[base : loffs[-1]]
-    tlens = tends - tstarts
-    h_all = hash_strings(flat.slice(base, loffs[-1] - base))
-    keep = tlens > 0
-    rid = np.repeat(np.arange(nrows, dtype=np.int64), counts_all)
-    th = h_all[keep]
-    counts = np.bincount(rid[keep], minlength=nrows).astype(np.int64)
+    data, starts, ends = _string_parts(low)
+    if starts.size == 0 or ends[-1] == starts[0]:
+        return np.empty(0, np.uint64), np.zeros(nrows, np.int64)
+    lo, hi = int(starts[0]), int(ends[-1])
+    seg = data[lo:hi]
+    # rows are [starts[i], ends[i]) byte ranges; bytes outside any row
+    # (possible for sliced inputs) are forced to "whitespace" so no
+    # token can span a row boundary or garbage gap
+    delta = np.zeros(hi - lo + 1, np.int64)
+    np.add.at(delta, starts - lo, 1)
+    np.add.at(delta, ends - lo, -1)
+    inside = np.cumsum(delta[:-1]) > 0
+    nonws = inside & ~_whitespace_mask(seg)
+    # explicit row-start barriers: adjacent rows share a byte boundary
+    # (end[i] == start[i+1]), so without these a token would run across
+    # two rows whose bytes abut with no whitespace between them
+    row_start = np.zeros(hi - lo, bool)
+    nz = starts[starts < ends] - lo
+    row_start[nz] = True
+    prev = np.empty_like(nonws)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    tok_start = np.flatnonzero(nonws & (~prev | row_start))
+    nxt = np.empty_like(nonws)
+    nxt[-1] = False
+    nxt[:-1] = nonws[1:]
+    nxt_row_start = np.zeros(hi - lo, bool)
+    nxt_row_start[:-1] = row_start[1:]
+    tok_end = np.flatnonzero(nonws & (~nxt | nxt_row_start)) + 1
+    ntok = tok_start.size
+    if ntok == 0:
+        return np.empty(0, np.uint64), np.zeros(nrows, np.int64)
+    rid = np.searchsorted(ends, tok_start + lo, side="right")
+    counts = np.bincount(rid, minlength=nrows).astype(np.int64)
+    # compact the token bytes into a fresh Arrow StringArray so the
+    # Zipf-vocabulary dedup can run in Arrow C++ (dictionary_encode):
+    # millions of token INSTANCES, a few thousand DISTINCT strings —
+    # hash only the vocabulary, gather per instance (the batch-wide
+    # analog of the old per-batch memo dict)
+    tlens = tok_end - tok_start
+    total = int(tlens.sum())
+    out_off = np.zeros(ntok + 1, np.int32)
+    np.cumsum(tlens, out=out_off[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        out_off[:-1].astype(np.int64), tlens
+    )
+    buf = seg[np.repeat(tok_start, tlens) + within]
+    sa = pa.Array.from_buffers(
+        pa.utf8(),
+        ntok,
+        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    denc = sa.dictionary_encode()
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    uh = hash_strings(denc.dictionary)
+    th = uh[codes]
     return th, counts
 
 
@@ -325,7 +411,12 @@ def minhash_bands_batch(
 def simhash_batch(texts: pa.Array) -> list:
     """texts → 64-bit SimHash per row (python int, None for token-less
     rows).  TF-weighted ±1 votes per bit; bit set when vote sum > 0 —
-    identical semantics to the round-1 UDF, new base hash family."""
+    identical semantics to the round-1 UDF, new base hash family.
+
+    Votes are 64 weighted ``np.bincount`` passes over the flat distinct
+    (row, token-hash) entries — measured ~4× faster than materializing
+    the (entries × 64) unpacked-bit matrix with ``add.reduceat``, and
+    O(entries) peak memory instead of O(entries × 64)."""
     th, counts = tokenize_hash_batch(texts)
     v2, w, c2 = _weighted_distinct_per_row(th, counts)
     nrows = counts.size
@@ -333,30 +424,19 @@ def simhash_batch(texts: pa.Array) -> list:
     sel = np.flatnonzero(c2 > 0)
     if not sel.size:
         return out
-    gs = np.concatenate(([0], np.cumsum(c2)[:-1]))
-    lo = 0
-    csum = np.cumsum(c2[sel])
-    while lo < sel.size:
-        hi = int(
-            np.searchsorted(csum, (csum[lo - 1] if lo else 0) + _CHUNK_TOKENS)
-        )
-        hi = max(hi, lo + 1)
-        rows = sel[lo:hi]
-        a, b = gs[rows[0]], gs[rows[-1]] + c2[rows[-1]]
-        vv, ww = v2[a:b], w[a:b]
-        bits = np.unpackbits(
-            vv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int64)
-        votes = np.add.reduceat(
-            bits * (2 * ww[:, None]) - ww[:, None], gs[rows] - a, axis=0
-        )
-        packed = np.packbits(votes > 0, axis=1, bitorder="little").view(np.uint64)[
-            :, 0
-        ]
-        for i, row in enumerate(rows):
-            p = int(packed[i])
-            out[row] = p - (1 << 64) if p >= (1 << 63) else p
-        lo = hi
+    rid2 = np.repeat(np.arange(nrows, dtype=np.int64), c2)
+    wf = w.astype(np.float64)
+    # exact: per-row weight totals stay far below 2^53
+    wtot = np.bincount(rid2, weights=wf, minlength=nrows)
+    fp_bits = np.zeros((nrows, 64), bool)
+    for j in range(64):
+        bj = ((v2 >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        ones = np.bincount(rid2, weights=wf * bj, minlength=nrows)
+        fp_bits[:, j] = (2.0 * ones - wtot) > 0
+    packed = np.packbits(fp_bits, axis=1, bitorder="little").view(np.uint64)[:, 0]
+    for row in sel:
+        p = int(packed[row])
+        out[row] = p - (1 << 64) if p >= (1 << 63) else p
     return out
 
 

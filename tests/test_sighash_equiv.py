@@ -38,22 +38,25 @@ ADVERSARIAL = [
     "mixed  \n multiple   \t whitespace",
     "a" * 3000,  # one very long token (power-table path)
     "\x00embedded null",  # NUL byte inside a token
+    "fs\x1cseparated\x1ffields",  # \x1c-\x1f: Python-split whitespace
+    "nb\xa0sp and\u2028line\u2029seps \u205f\u3000wide",
+    "ogham\u1680space",
+    "nel\x85char",
+    "trailing cr\r",  # the pyarrow-16.1 split-bug shape
 ]
 
-# Alphabet for hypothesis: printable ASCII + whitespace + assorted
-# unicode.  Two documented edges are excluded, where Python string
-# semantics diverge from Arrow's utf8proc semantics (the fast path
-# defines engine behavior; the Catalyst \s+ twin has analogous
-# ASCII-only edges already):
-# - \x1c-\x1f controls: Python str.split() treats them as whitespace,
-#   Unicode White_Space does not;
+# Alphabet for hypothesis: printable ASCII + whitespace (including the
+# \x1c-\x1f file separators — the byte-level splitter matches Python
+# str.split() exactly, unlike Arrow's Unicode-White_Space split) +
+# assorted unicode.  One documented edge is excluded, where Python
+# string semantics diverge from Arrow's utf8proc semantics:
 # - Greek capital sigma: Python str.lower() applies the context-
 #   sensitive final-sigma rule ('AΣ'.lower() == 'aς'), Arrow utf8_lower
 #   maps Σ→σ unconditionally.
 _ALPHABET = st.sampled_from(
     list(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
-        " \t\n\r\x0b\x0c"
+        " \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0"
         ".,;:!?'\"()[]{}<>-_=+*/\\|@#$%^&~`"
     )
     + ["é", "ü", "ß", "日", "本", "語", "🚀", " ", "　", "²", "σ"]
@@ -105,7 +108,6 @@ def test_chunked_hashing_matches_unchunked(monkeypatch):
     arr = pa.array(texts, type=pa.string())
     full = sighash.simhash_batch(arr)
     monkeypatch.setattr(sighash, "_CHUNK_BYTES", 64)
-    monkeypatch.setattr(sighash, "_CHUNK_TOKENS", 7)
     tiny = sighash.simhash_batch(arr)
     assert full == tiny
     got_b, _ = sighash.minhash_bands_batch(arr, N, A, B, BANDS)
@@ -139,3 +141,40 @@ def test_gram_distinctness_matches_string_shingles():
     toks = text.split()
     strings = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
     assert len(grams) == len(strings)
+
+
+def test_arrow_split_bug_sequence():
+    """Regression pin for the pyarrow 16.1 utf8_split_whitespace bug
+    that forced the byte-level splitter: after certain prior
+    allocations, Arrow's split missed a trailing ``\r`` on the
+    utf8_lower output buffer (alignment-dependent).  Replay the
+    minimized contaminating batch, then assert our tokenizer still
+    matches the Python reference on the victim batch."""
+    import json
+    import os
+
+    contaminator = [
+        "k$DO\u00e9l~#6r3\\/.0[e4;f$'!>7+!BS ;[%F-zoc\\nr6Q9\t#Nw\u30008"
+        "HLxs\u00e9p=\u00fcqeV~8YARe\u00e9}\x0b|n^1j\"\u8a9e_:40\u3000"
+        "\u00e9n~1i>:ad(C+)?<s3&C",
+        "=/\u65e5%m{",
+        "\u00fc\u65e5gNl\u00b2\u00fc `Ok<2\t`c7C\x0b?G,tJJgW{_\x0cB551`"
+        "ZLWq`?)B8/i-|\u00df?%KcnL(73-^t\u03c3#<r\"1>(Q\u00fc/",
+        "&trrwYBcp1{K%uek3i K?\x0c\U0001f6807\r*,L:\u00e9_1/w\r\u65e5\x0b"
+        "_vjl\u00b2?'P_?xM_\x0c) :(#|Y\U0001f680p8-{5(y\\TN$[aW\x0bkE5`"
+        "Ogq*pY8\" UGSaB#\U0001f680VRk",
+        "rg\r?j)D\u672cfzb|\u00dfkgPc,\u03c3.@\nna\rQ)aSm`jv(II\u672cn70"
+        "\tV1+Q (01l7$EU\u65e5<\\4MK)=lS$Z\"3\u3000XD.b:NZ)|\u00dfg-=2}"
+        "a^\u672c5;\r&AoX9\u65e5#\u672cn=\u8a9e:{\u00b2\nw)$\"xpkG>Z"
+        "\u8a9eZ",
+    ]
+    victim = [
+        "o", "#", "4YCwPD@x\nWji", "e^&", "KA(", "B:", "E:Ci",
+        "j2)P0ZZu<r>8Kf ", "I(T\x0bL/')8", "b%\n\teD", "?=G\\\u00e9",
+        "T\u00e9\x0cPw \xa0",
+        "'k7tZ[stkD^k,Yf!7\u03c3f]L\u00b2\u00df&$%`c\u00fc\u00b2\u00e9%Z"
+        "j[\u00e9K\u00df|pSk/m\u672c{gL@)lWBi\r",
+    ]
+    for _ in range(3):
+        _check_batch(contaminator)
+        _check_batch(victim)
