@@ -39,28 +39,49 @@ def parse_layout(payload: str) -> list[dict] | None:
     return recs
 
 
+def _row_key(e: tuple) -> tuple:
+    return (e[1], e[0], e[2])
+
+
 def _reading_order(recs: list[dict]) -> list[dict]:
     """Sort line records top-to-bottom, left-to-right.
 
     Rows are clustered greedily on y0 with a tolerance of half the
     median line height; within a row, sort by x0.  Deterministic: ties
-    broken by (y0, x0, text).
+    broken by (y0, x0, text) then input position.
+
+    Hot-path form: one pass builds (y0, x0, text, idx, rec) tuples so
+    both sorts run on plain tuples (no per-element key lambdas re-
+    indexing the dicts); the idx tiebreak reproduces the original
+    stable-sort order exactly and keeps the comparison from ever
+    touching the rec dicts.
     """
-    heights = sorted(max(r["bbox"][3] - r["bbox"][1], 1e-9) for r in recs)
-    tol = 0.5 * heights[len(heights) // 2]
-    by_y = sorted(recs, key=lambda r: (r["bbox"][1], r["bbox"][0], r["text"]))
-    rows: list[list[dict]] = []
+    items = []
+    hs = []
+    for i, r in enumerate(recs):
+        b = r["bbox"]
+        y0 = b[1]
+        hs.append(max(b[3] - y0, 1e-9))
+        items.append((y0, b[0], r["text"], i, r))
+    hs.sort()
+    tol = 0.5 * hs[len(hs) // 2]
+    items.sort()
+    ordered: list[dict] = []
+    row: list[tuple] = []
     row_y = None
-    for r in by_y:
-        y0 = r["bbox"][1]
+    for it in items:
+        y0 = it[0]
         if row_y is None or y0 - row_y > tol:
-            rows.append([r])
+            if row:
+                row.sort(key=_row_key)
+                ordered.extend(e[4] for e in row)
+            row = [it]
             row_y = y0
         else:
-            rows[-1].append(r)
-    ordered: list[dict] = []
-    for row in rows:
-        ordered.extend(sorted(row, key=lambda r: (r["bbox"][0], r["bbox"][1], r["text"])))
+            row.append(it)
+    if row:
+        row.sort(key=_row_key)
+        ordered.extend(e[4] for e in row)
     return ordered
 
 

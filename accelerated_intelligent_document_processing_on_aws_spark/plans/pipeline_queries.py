@@ -133,7 +133,9 @@ def ann_lsh_topk(spark, sf_dir):
     qs = e.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.lsh_topk(e, qs, k=5, dim=64, bits=4, n_tables=6)
+    # n_tables=16/bits=4: the BENCH/ANN_CURVES.md documented >=0.9-recall
+    # setting (0.931 at sf0.1 on the hardest — structureless — regime)
+    return similarity.lsh_topk(e, qs, k=5, dim=64, bits=4, n_tables=16)
 
 
 @q("ann_ivf_topk")
@@ -143,7 +145,10 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     cents = similarity.train_centroids(e, n_centroids=8, sample_fraction=1.0)
-    return similarity.ivf_topk(e, qs, cents, k=5, nprobe=3)
+    # nprobe=6/8: the structureless fixture needs ~75% of lists probed
+    # for >=0.9 recall (BENCH/ANN_CURVES.md — clustered corpora need far
+    # fewer; the plan shape, not this knob, is what scales)
+    return similarity.ivf_topk(e, qs, cents, k=5, nprobe=6)
 
 
 @q("ann_pq_rerank_topk")

@@ -80,7 +80,7 @@ def main() -> None:
         )
 
     # -- LSH: tables x bits ------------------------------------------------
-    for n_tables, bits in [(2, 4), (4, 4), (8, 4), (8, 6), (16, 6)]:
+    for n_tables, bits in [(2, 4), (4, 4), (8, 4), (16, 4), (24, 4), (8, 6), (16, 6)]:
         measure(
             "lsh", f"tables={n_tables},bits={bits}",
             lambda n=n_tables, b=bits: sim.lsh_topk(
@@ -90,7 +90,7 @@ def main() -> None:
 
     # -- IVF: nprobe sweep over one distributed-kmeans model ---------------
     cents = sim.train_centroids_distributed(emb, n_centroids=32, iters=4, seed=7)
-    for nprobe in (1, 2, 4, 8, 16):
+    for nprobe in (1, 2, 4, 8, 16, 24):
         measure(
             "ivf", f"C=32,nprobe={nprobe}",
             lambda p=nprobe: sim.ivf_topk(emb, qs, cents, k=K, nprobe=p),
@@ -98,8 +98,8 @@ def main() -> None:
 
     # -- PQ + rerank: shortlist sweep over one codebook model --------------
     m = 8 if dim % 8 == 0 else 4
-    books = sim.train_pq_codebooks(emb, m=m, ksub=16, iters=4, seed=7)
-    for shortlist in (20, 50, 100, 200):
+    books = sim.train_pq_codebooks(emb, n_subspaces=m, n_codes=16, iters=4)
+    for shortlist in (20, 50, 100, 200, 400, 800):
         measure(
             "pq_rerank", f"m={m},ksub=16,shortlist={shortlist}",
             lambda s=shortlist: sim.pq_topk_rerank(

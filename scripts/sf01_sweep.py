@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Full-registry oracle sweep at sf0.1 (round-4 verdict stretch item 8).
+
+The per-commit driver-replica gate checks all oracle pairs at sf0.001
+and sf0.01; this nightly-style script runs every oracle-paired registry
+query at sf0.1 and reports any SF-dependent divergence (float
+accumulation order, percentile interpolation, overflow) before the
+driver can find one.
+
+Usage: python scripts/sf01_sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+Prints one line per failing query + a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    rows = []
+    for tup in df[cols].itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    if v == 0.0:
+                        v = 0.0
+                    row.append(f"{v:.9g}")
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort()
+    return cols, rows
+
+
+def main() -> None:
+    from accelerated_intelligent_document_processing_on_aws_spark.sources.session import (
+        get_spark,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="sf01-sweep",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed, passed = [], 0
+    t_start = time.time()
+    for name in sorted(oracles):
+        try:
+            got = queries[name](spark, sf_dir).toPandas()
+            want = con.execute(oracles[name]).fetchdf()
+            gc, gr = _canon(got)
+            wc, wr = _canon(want)
+            if gc != wc:
+                failed.append((name, f"columns {gc} vs {wc}"))
+            elif len(gr) != len(wr):
+                failed.append((name, f"rows {len(gr)} vs {len(wr)}"))
+            else:
+                mism = sum(1 for a, b in zip(gr, wr) if a != b)
+                if mism:
+                    first = next((a, b) for a, b in zip(gr, wr) if a != b)
+                    failed.append((name, f"{mism} row mismatches; first {first}"))
+                else:
+                    passed += 1
+        except Exception as e:  # noqa: BLE001
+            failed.append((name, f"ERROR {type(e).__name__}: {e}"))
+        if failed and failed[-1][0] == name:
+            print(f"FAIL {name}: {failed[-1][1][:300]}", flush=True)
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "oracle_paired": len(oracles),
+                "passed": passed,
+                "failed": [n for n, _ in failed],
+                "wall_sec": round(time.time() - t_start, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,23 @@ class TestSimilarity:
         approx = similarity.lsh_topk(emb, q, k=5, dim=64, bits=3, n_tables=6)
         assert similarity.recall_at_k(approx, exact, 5) >= 0.5
 
+    def test_documented_high_recall_settings(self, emb):
+        """Pin the BENCH/ANN_CURVES.md documented recall>=0.9 settings
+        (measured at sf0.1) at >=0.85 on the sf0.001 fixture — a
+        regression in any leg's math goes red here."""
+        q = emb.limit(8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = similarity.brute_force_topk(emb, q, k=5)
+        lsh = similarity.lsh_topk(emb, q, k=5, dim=64, bits=4, n_tables=16)
+        assert similarity.recall_at_k(lsh, exact, 5) >= 0.85
+        cents = similarity.train_centroids(emb, n_centroids=8, sample_fraction=1.0)
+        ivf = similarity.ivf_topk(emb, q, cents, k=5, nprobe=6)
+        assert similarity.recall_at_k(ivf, exact, 5) >= 0.85
+        books = similarity.train_pq_codebooks(emb, n_subspaces=8, n_codes=16, iters=2)
+        pq = similarity.pq_topk_rerank(emb, q, books, k=5, shortlist=100)
+        assert similarity.recall_at_k(pq, exact, 5) >= 0.85
+
     def test_ivf_recall_and_shape(self, emb):
         q = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
