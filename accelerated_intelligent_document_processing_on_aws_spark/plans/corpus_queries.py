@@ -948,13 +948,21 @@ def embedding_int8_quantization(spark, sf_dir):
         )
         / F.size("embedding")
     )
+    # rms_err MUST be materialized BEFORE the projection that re-aliases
+    # `scale` to its 9dp-rounded display value: in a single select,
+    # Catalyst resolves err's F.col("scale") against the SIBLING rounded
+    # alias, silently dequantizing with the rounded scale — a ~1e-10
+    # relative shift that flips 6dp rounding on boundary rows (caught by
+    # the sf0.1 sweep: 6 rows off by 1 in the 6th decimal; DuckDB uses
+    # the unrounded scale, as the library API does).
+    q = q.withColumn("rms_err", F.round(err, 6))
     return q.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
         F.array_join(
             F.transform("q8", lambda x: x.cast("string")), ","
         ).alias("q8"),
-        F.round(err, 6).alias("rms_err"),
+        "rms_err",
     )
 
 

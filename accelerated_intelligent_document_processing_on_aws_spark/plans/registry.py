@@ -65,6 +65,9 @@ FRONT_STALE_R1R2 = [
 FRONT_R5_CHANGED = [
     "minhash_md5_signature",
     "simhash_md5_fingerprint",
+    # sf0.1 sweep catch: err was silently computed against the ROUNDED
+    # scale via same-select alias shadowing; fixed + must re-verify
+    "embedding_int8_quantization",
 ]
 
 # New round-5 oracle-paired queries: append here as they are added.
