@@ -151,6 +151,19 @@ def main() -> None:
     )
 
     add(
+        "Cross-document paragraph dedup — groupBy twin (round 5)",
+        "The shape-independent skew-robust strategy: "
+        "groupBy(line_md5).agg(min(struct(doc_id, idx))) is map-side "
+        "combinable by aggregation algebra (partial HashAggregate "
+        "before the exchange — a 10^9×-repeated line collapses to one "
+        "row per map task), then an AQE-splittable join-back picks "
+        "winner rows.  One extra exchange vs the window form; both "
+        "registry queries share ONE oracle, so the driver certifies "
+        "the plans equivalent.",
+        QUERIES["paragraph_dedup_groupby_docs"](spark, SF),
+    )
+
+    add(
         "Duplicated n-gram spans (round 4, window form)",
         "Positional 5-gram md5 hashes explode once; ONE gram-hash "
         "exchange serves both the global count (window) and the "
