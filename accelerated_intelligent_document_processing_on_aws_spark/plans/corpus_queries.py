@@ -1079,6 +1079,156 @@ def paragraph_dedup_groupby_docs(spark, sf_dir):
     return dedup.dedup_paragraphs_groupby(docs, "doc_id", "text", min_chars=1)
 
 
+@q(
+    "split_leakage_exact",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS BIGINT) % 10 < 9 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT content_hash,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT split) AS n_splits
+      FROM d GROUP BY content_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky_groups,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS n_leaked_docs
+    FROM g
+    """,
+)
+def split_leakage_exact(spark, sf_dir):
+    """Train/valid/test contamination check for exact duplicates — the
+    pre-training split hygiene step: deterministic md5-bucket split
+    (8/1/1 on doc_id), then one hash-groupBy over content md5 counting
+    groups whose members span more than one split.  A leaky group means
+    eval rows are memorizable from train.  Scale shape: ONE shuffle of
+    (content_hash, split) pairs, partial-aggregated map-side; the
+    summary is a single row.  Mirrors the reference's evaluation-
+    leakage concern (evaluation compares train-derived predictions
+    against held-out goldens, lib/idp_common_pkg/idp_common/evaluation/
+    service.py) restated as a corpus-level gate."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("content_hash"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 10
+            < 8,
+            "train",
+        )
+        .when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+            ).cast("bigint")
+            % 10
+            < 9,
+            "valid",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    g = d.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaky_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n_leaked_docs"),
+    )
+
+
+@q(
+    "intra_doc_line_dedup",
+    """
+    WITH lines AS (
+      SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) - 1 AS idx,
+             unnest(string_split(text, chr(10))) AS line
+      FROM documents
+    ), nonempty AS (
+      SELECT doc_id, idx, line, md5(lower(trim(line))) AS k
+      FROM lines WHERE length(trim(line)) >= 1
+    ), winners AS (
+      SELECT doc_id, idx, line,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, k ORDER BY idx) AS rn
+      FROM nonempty
+    )
+    SELECT n.doc_id,
+           COALESCE(w.kept_text, '') AS kept_text,
+           n.n_lines,
+           COALESCE(w.n_kept, 0) AS n_kept
+    FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM nonempty GROUP BY doc_id) n
+    LEFT JOIN (SELECT doc_id,
+                      string_agg(line, chr(10) ORDER BY idx) AS kept_text,
+                      CAST(COUNT(*) AS BIGINT) AS n_kept
+               FROM winners WHERE rn = 1 GROUP BY doc_id) w
+      ON n.doc_id = w.doc_id
+    """,
+)
+def intra_doc_line_dedup(spark, sf_dir):
+    """WITHIN-document repeated-line removal — the intra-doc counterpart
+    of the C4 cross-corpus step (`paragraph_dedup_docs`): keep the
+    first occurrence of each normalized line PER DOCUMENT.  The window
+    partitions on (doc_id, line_md5), so unlike the corpus-wide form
+    there is no global hot key at all — the widest partition is one
+    document's copies of one line — and the `_rn == 1` filter keeps the
+    WindowGroupLimit pushdown as a second belt.  One shuffle keyed by
+    (doc_id, hash)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("_idx", "_line"),
+    ).where(F.length(F.trim(F.col("_line"))) >= 1)
+    w = Window.partitionBy(
+        "_id", F.md5(F.lower(F.trim(F.col("_line"))))
+    ).orderBy("_idx")
+    kept = lines.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    per_doc = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_idx"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("kept_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return totals.join(per_doc, "_id", "left").select(
+        F.col("_id").alias("doc_id"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
 # -- duplicated n-gram span fraction (substring-dedup approximation) --------
 @q(
     "duplicate_ngram_spans",

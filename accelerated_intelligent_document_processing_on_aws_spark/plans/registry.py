@@ -73,6 +73,8 @@ FRONT_R5_CHANGED = [
 # New round-5 oracle-paired queries: append here as they are added.
 FRONT_R5_NEW = [
     "paragraph_dedup_groupby_docs",
+    "split_leakage_exact",
+    "intra_doc_line_dedup",
 ]
 
 # Rows-only re-presentation block — MUST stay exactly 12 names and sit
