@@ -114,9 +114,10 @@ def remix_params(num_hashes: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray
 # ---------------------------------------------------------------------------
 
 def _string_parts(sa: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(flat uint8 data, starts, ends) of a non-large StringArray."""
+    """(flat uint8 data, starts, ends) of a string/large_string array."""
     buf_off, buf_dat = sa.buffers()[1], sa.buffers()[2]
-    offs = np.frombuffer(buf_off, dtype=np.int32)
+    off_t = np.int64 if pa.types.is_large_string(sa.type) else np.int32
+    offs = np.frombuffer(buf_off, dtype=off_t)
     starts = offs[sa.offset : sa.offset + len(sa)].astype(np.int64)
     ends = offs[sa.offset + 1 : sa.offset + 1 + len(sa)].astype(np.int64)
     data = (
@@ -262,17 +263,26 @@ def tokenize_hash_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     # analog of the old per-batch memo dict)
     tlens = tok_end - tok_start
     total = int(tlens.sum())
-    out_off = np.zeros(ntok + 1, np.int32)
-    np.cumsum(tlens, out=out_off[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        out_off[:-1].astype(np.int64), tlens
-    )
+    off64 = np.zeros(ntok + 1, np.int64)
+    np.cumsum(tlens, out=off64[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(off64[:-1], tlens)
     buf = seg[np.repeat(tok_start, tlens) + within]
-    sa = pa.Array.from_buffers(
-        pa.utf8(),
-        ntok,
-        [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(buf.tobytes())],
-    )
+    if total < (1 << 31):
+        sa = pa.Array.from_buffers(
+            pa.utf8(),
+            ntok,
+            [
+                None,
+                pa.py_buffer(off64.astype(np.int32).tobytes()),
+                pa.py_buffer(buf.tobytes()),
+            ],
+        )
+    else:  # pathological >2GB token bytes in one batch: 64-bit offsets
+        sa = pa.Array.from_buffers(
+            pa.large_utf8(),
+            ntok,
+            [None, pa.py_buffer(off64.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
     denc = sa.dictionary_encode()
     codes = np.asarray(denc.indices, dtype=np.int64)
     uh = hash_strings(denc.dictionary)
