@@ -794,6 +794,58 @@ def dedup_keep_canonical(
     return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def dedup_keep_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collapse near-duplicate clusters keeping the BEST member — the
+    C4/RefinedWeb curation rule where the keeper is chosen by quality,
+    not by id.
+
+    ``score_col``: name of an existing per-doc score column; when None,
+    the composite ``quality_score`` from
+    :func:`..operators.textstats.quality_features` is computed for
+    CLUSTERED docs only (a broadcast-semi-join narrows the corpus first
+    — quality runs on the tiny clustered slice, not the whole corpus).
+    Winner per cluster = max score, ties broken by MIN id (so the
+    result is deterministic and degenerates to
+    :func:`dedup_keep_canonical` under constant scores).  Docs in no
+    pair pass through untouched.
+
+    Scale shape: clusters table is near-dup-sized (tiny vs corpus);
+    the winner choice is one groupBy(max(struct(score, -id))) over it;
+    losers broadcast into a left-anti join against the corpus — the
+    full corpus is never shuffled."""
+    clusters = duplicate_clusters(pairs)
+    if score_col is None:
+        from .textstats import quality_features
+
+        scored = quality_features(
+            docs.join(
+                F.broadcast(clusters.select(F.col("id").alias(id_col))),
+                id_col,
+                "left_semi",
+            ),
+            text_col=text_col,
+        ).select(F.col(id_col).alias("id"), F.col("quality_score").alias("_s"))
+    else:
+        scored = docs.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_s")
+        )
+    member = clusters.join(scored, "id")
+    # max score, tie → min id: negate the id inside the max(struct)
+    winners = member.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_s"), (-F.col("id")).alias("_nid"))).alias("_w")
+    )
+    losers = member.join(winners, "cluster_id").where(
+        F.col("id") != -F.col("_w._nid")
+    ).select(F.col("id").alias(id_col))
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard & embedding near-dup
 # ---------------------------------------------------------------------------

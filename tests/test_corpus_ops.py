@@ -256,6 +256,38 @@ class TestMinhashRecall:
 
 
 class TestDuplicateClusters:
+    def test_keep_representative_by_quality(self, spark):
+        """Cluster {1,2,3}: doc 3 has the best quality (long clean
+        prose), docs 1/2 are punctuation soup — the keeper must be 3,
+        not min-id 1; singleton doc 9 passes through.  With a constant
+        score column the rule degenerates to keep-canonical (min id)."""
+        docs = spark.createDataFrame(
+            [
+                (1, "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((( )))"),
+                (2, "??? !!! ;;; ### $$$ %%% @@@ &&& *** ((( )))"),
+                (3, "the quick brown fox jumps over the lazy dog and "
+                    "keeps running through the quiet field all day"),
+                (9, "an unrelated singleton document with its own text"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedup.dedup_keep_representative(docs, pairs).collect()
+        }
+        assert kept == {3, 9}
+        const = docs.withColumn("s", F.lit(1.0))
+        kept2 = {
+            r["doc_id"]
+            for r in dedup.dedup_keep_representative(
+                const, pairs, score_col="s"
+            ).collect()
+        }
+        assert kept2 == {1, 9}  # min id on ties == keep-canonical
+
     def test_transitive_chain_collapses(self, spark):
         """A~B, B~C, D~E with no A~C pair: components {A,B,C} and {D,E},
         canonical = min id; F untouched by keep-canonical."""
