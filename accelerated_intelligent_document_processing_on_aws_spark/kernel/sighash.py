@@ -25,17 +25,27 @@ queries are rows-only; cross-engine sketch semantics are separately
 hash-checked by the md5 variants in ``plans/corpus_queries.py``).  The
 per-document REFERENCE implementation of the same family lives below
 (``ref_*``) and the equivalence gate (``tests/test_sighash_equiv.py``)
-asserts the vectorized batch path reproduces it byte-for-byte, the same
-pattern as the HTML tokenizer's find-dispatch gate.
+asserts the vectorized batch path reproduces it exactly, the same
+pattern as the HTML tokenizer's find-dispatch gate.  Lowercase
+semantics are ENGINE-defined (utf8proc simple mapping via
+``pc.utf8_lower``; see :func:`ref_lower`) — the reference evaluates the
+same mapping per document, so the gate covers final-sigma/dotted-İ
+codepoints; split/hash/sketch stages are independently reimplemented
+in pure Python.
 
 Reference parity target: the reference pipeline's per-document hashing
 (idp_common/classification/service.py page-hash dispatch) is a
 correctness analog only; no code shared.
 
 Scale note: everything here is per-Arrow-batch (bounded by
-``spark.sql.execution.arrow.maxRecordsPerBatch``); peak temporaries are
-capped by ``_CHUNK_BYTES``/``_CHUNK_TOKENS`` sub-batching, so executor
-memory is independent of corpus size.
+``spark.sql.execution.arrow.maxRecordsPerBatch``).  ``tokenize_hash_
+batch`` additionally sub-batches by ROW GROUPS of at most
+``_CHUNK_ROW_BYTES`` flat text bytes (temporaries are a constant
+multiple of the sub-batch byte volume, so multi-MB documents cannot
+multiply into tens of GB), and ``hash_strings`` sub-batches its
+per-byte temporaries at ``_CHUNK_BYTES``.  Honest floor: one single
+string/document is never split, so the true peak is
+O(max(chunk bound, largest single document)).
 """
 
 from __future__ import annotations
@@ -54,6 +64,7 @@ FNV_OFF = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
 
 _CHUNK_BYTES = 1 << 22  # max flat string bytes hashed per sub-batch
+_CHUNK_ROW_BYTES = 1 << 26  # max flat text bytes tokenized per row group
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +210,38 @@ def _whitespace_mask(data: np.ndarray) -> np.ndarray:
 
 
 def tokenize_hash_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Row-group sub-batching wrapper around :func:`_tokenize_hash_core`:
+    slices the batch so each group holds at most ``_CHUNK_ROW_BYTES``
+    flat text bytes (one row is never split), keeping the core's
+    temporaries — several int64 arrays proportional to the group's byte
+    volume — bounded regardless of document size."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    nrows = len(texts)
+    if nrows == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    _, rstarts, rends = _string_parts(texts)
+    rbytes = rends - rstarts
+    total = int(rbytes.sum())
+    if total <= _CHUNK_ROW_BYTES:
+        return _tokenize_hash_core(texts)
+    cuts = [0]
+    acc = 0
+    for i in range(nrows):
+        if acc + rbytes[i] > _CHUNK_ROW_BYTES and cuts[-1] != i:
+            cuts.append(i)
+            acc = 0
+        acc += int(rbytes[i])
+    cuts.append(nrows)
+    ths, cnts = [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        th, c = _tokenize_hash_core(texts.slice(a, b - a))
+        ths.append(th)
+        cnts.append(c)
+    return np.concatenate(ths), np.concatenate(cnts)
+
+
+def _tokenize_hash_core(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Batch → (flat uint64 token hashes in row order, int64 per-row
     token counts).  Tokens: unicode lower (Arrow C++), whitespace split
     with PYTHON str.split() semantics.  Null rows get count 0.
@@ -454,8 +497,23 @@ def simhash_batch(texts: pa.Array) -> list:
 # per-document reference pipeline (the equivalence-gate oracle)
 # ---------------------------------------------------------------------------
 
+def ref_lower(text: str) -> str:
+    """The engine's lowercase semantics: utf8proc SIMPLE case mapping
+    (what ``pc.utf8_lower`` applies per codepoint).  This differs from
+    Python ``str.lower()`` on context-sensitive/full mappings — Greek
+    final sigma ('AΣ' → 'aσ', Python gives 'aς') and Turkish 'İ'
+    (→ 'i', Python gives 'i' + combining dot).  The reference pipeline
+    deliberately adopts the ENGINE's definition (evaluated per document
+    through the same trusted single-codepoint C++ mapping, verified
+    correct during the split-kernel bug investigation) so the
+    equivalence gate covers these codepoints instead of excluding
+    them; everything downstream of lowercase — split, hashing, sketch
+    algebra — remains independently reimplemented in pure Python."""
+    return pc.utf8_lower(pa.array([text], type=pa.string()))[0].as_py()
+
+
 def ref_tokens(text: str | None) -> list[str]:
-    return text.lower().split() if text else []
+    return ref_lower(text).split() if text else []
 
 
 def ref_gram_hash_set(text: str | None, n: int) -> list[int]:

@@ -131,7 +131,7 @@ def simhash64_udf():
 
     Term-frequency-weighted bit votes over distinct token hashes, fully
     vectorized in :func:`..kernel.sighash.simhash_batch` (segmented
-    lexsort distinct + unpackbits votes + reduceat sums).  NULL for
+    lexsort distinct + 64 weighted-bincount vote passes).  NULL for
     token-less text."""
     from ..kernel import sighash
     from pyspark.sql.functions import pandas_udf
@@ -835,14 +835,25 @@ def dedup_keep_representative(
         scored = docs.select(
             F.col(id_col).alias("id"), F.col(score_col).alias("_s")
         )
+    from pyspark.sql import Window
+
     member = clusters.join(scored, "id")
-    # max score, tie → min id: negate the id inside the max(struct)
-    winners = member.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("_s"), (-F.col("id")).alias("_nid"))).alias("_w")
+    # max score, tie → min id — row_number keeps the rule type-agnostic
+    # (ids may be strings/UUIDs; negating an id would silently NULL
+    # non-numeric types).  The window partitions are CLUSTERS of the
+    # near-dup-sized table, so no corpus-scale hot key exists.
+    losers = (
+        member.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("_s"), F.asc("id")
+                )
+            ),
+        )
+        .where(F.col("_rk") > 1)
+        .select(F.col("id").alias(id_col))
     )
-    losers = member.join(winners, "cluster_id").where(
-        F.col("id") != -F.col("_w._nid")
-    ).select(F.col("id").alias(id_col))
     return docs.join(F.broadcast(losers), id_col, "left_anti")
 
 

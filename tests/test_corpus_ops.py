@@ -288,6 +288,27 @@ class TestDuplicateClusters:
         }
         assert kept2 == {1, 9}  # min id on ties == keep-canonical
 
+    def test_keep_representative_string_ids(self, spark):
+        """Type-agnostic tie-break: string/UUID-style ids must work (a
+        negated-id tie-break would silently NULL out and no-op)."""
+        docs = spark.createDataFrame(
+            [
+                ("u-a", "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((("),
+                ("u-b", "the quick brown fox jumps over the lazy dog and "
+                        "keeps running through the quiet field all day"),
+                ("u-z", "a singleton document standing alone here"),
+            ],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("u-a", "u-b")], "id_a string, id_b string"
+        )
+        kept = {
+            r["doc_id"]
+            for r in dedup.dedup_keep_representative(docs, pairs).collect()
+        }
+        assert kept == {"u-b", "u-z"}
+
     def test_transitive_chain_collapses(self, spark):
         """A~B, B~C, D~E with no A~C pair: components {A,B,C} and {D,E},
         canonical = min id; F untouched by keep-canonical."""

@@ -43,16 +43,17 @@ ADVERSARIAL = [
     "ogham\u1680space",
     "nel\x85char",
     "trailing cr\r",  # the pyarrow-16.1 split-bug shape
+    "AΣ ΟΔΟΣ σε",  # final-sigma position: engine lower = utf8proc simple
+    "İstanbul KAPI kapı",  # dotted İ / Turkish i
 ]
 
 # Alphabet for hypothesis: printable ASCII + whitespace (including the
 # \x1c-\x1f file separators — the byte-level splitter matches Python
 # str.split() exactly, unlike Arrow's Unicode-White_Space split) +
-# assorted unicode.  One documented edge is excluded, where Python
-# string semantics diverge from Arrow's utf8proc semantics:
-# - Greek capital sigma: Python str.lower() applies the context-
-#   sensitive final-sigma rule ('AΣ'.lower() == 'aς'), Arrow utf8_lower
-#   maps Σ→σ unconditionally.
+# assorted unicode INCLUDING the caseful edge codepoints (Σ, İ):
+# lowercase semantics are engine-defined (utf8proc simple mapping,
+# sighash.ref_lower), so the reference evaluates the same mapping and
+# the gate covers them.
 _ALPHABET = st.sampled_from(
     list(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
@@ -108,6 +109,7 @@ def test_chunked_hashing_matches_unchunked(monkeypatch):
     arr = pa.array(texts, type=pa.string())
     full = sighash.simhash_batch(arr)
     monkeypatch.setattr(sighash, "_CHUNK_BYTES", 64)
+    monkeypatch.setattr(sighash, "_CHUNK_ROW_BYTES", 256)
     tiny = sighash.simhash_batch(arr)
     assert full == tiny
     got_b, _ = sighash.minhash_bands_batch(arr, N, A, B, BANDS)
