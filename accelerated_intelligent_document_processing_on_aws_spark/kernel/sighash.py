@@ -50,6 +50,8 @@ O(max(chunk bound, largest single document)).
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -65,6 +67,11 @@ FNV_PRIME = np.uint64(1099511628211)
 
 _CHUNK_BYTES = 1 << 22  # max flat string bytes hashed per sub-batch
 _CHUNK_ROW_BYTES = 1 << 26  # max flat text bytes tokenized per row group
+
+# packbits→uint64 views and the raw offset/data buffers handed to
+# pa.Array.from_buffers assume native little-endian layout; fail loudly
+# on an exotic big-endian executor instead of producing corrupt arrays
+assert sys.byteorder == "little", "sighash kernel requires little-endian"
 
 
 # ---------------------------------------------------------------------------
@@ -377,16 +384,10 @@ def dedup_sorted_per_row(
     vals: np.ndarray, counts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-row distinct+ascending-sort of a flat segmented uint64 array
-    (lexsort + adjacent-equal mask — no per-row Python)."""
-    nrows = counts.size
-    rid = np.repeat(np.arange(nrows, dtype=np.int64), counts)
-    order = np.lexsort((vals, rid))
-    v, r = vals[order], rid[order]
-    keep = np.ones(v.size, bool)
-    if v.size:
-        keep[1:] = (v[1:] != v[:-1]) | (r[1:] != r[:-1])
-    v2, r2 = v[keep], r[keep]
-    return v2, np.bincount(r2, minlength=nrows).astype(np.int64)
+    — :func:`_weighted_distinct_per_row` minus the multiplicity vector
+    (one shared segmented-distinct core, not two near-copies)."""
+    v2, _, c2 = _weighted_distinct_per_row(vals, counts)
+    return v2, c2
 
 
 def _weighted_distinct_per_row(

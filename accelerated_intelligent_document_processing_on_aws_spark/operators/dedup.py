@@ -837,7 +837,15 @@ def dedup_keep_representative(
         )
     from pyspark.sql import Window
 
-    member = clusters.join(scored, "id")
+    # collapse duplicate doc_id rows (messy input) to one member row per
+    # (cluster, id) BEFORE ranking — otherwise a duplicated winning id
+    # would rank 1 and 2 and its _rk=2 copy would put the winner itself
+    # into the loser set, deleting the cluster's best document
+    member = (
+        clusters.join(scored, "id")
+        .groupBy("cluster_id", "id")
+        .agg(F.max("_s").alias("_s"))
+    )
     # max score, tie → min id — row_number keeps the rule type-agnostic
     # (ids may be strings/UUIDs; negating an id would silently NULL
     # non-numeric types).  The window partitions are CLUSTERS of the

@@ -309,6 +309,25 @@ class TestDuplicateClusters:
         }
         assert kept == {"u-b", "u-z"}
 
+    def test_keep_representative_duplicate_id_rows(self, spark):
+        """Messy input: the winning id appears TWICE in docs.  Ranking
+        must not mark the winner's second copy as a loser (which would
+        anti-join away every copy of the best document)."""
+        docs = spark.createDataFrame(
+            [
+                (1, "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((("),
+                (2, "the quick brown fox jumps over the lazy dog and "
+                    "keeps running through the quiet field all day"),
+                (2, "the quick brown fox jumps over the lazy dog and "
+                    "keeps running through the quiet field all day"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = dedup.dedup_keep_representative(docs, pairs).collect()
+        assert {r["doc_id"] for r in kept} == {2}
+        assert len(kept) == 2  # both copies of the winner survive
+
     def test_transitive_chain_collapses(self, spark):
         """A~B, B~C, D~E with no A~C pair: components {A,B,C} and {D,E},
         canonical = min id; F untouched by keep-canonical."""

@@ -180,3 +180,25 @@ def test_arrow_split_bug_sequence():
     for _ in range(3):
         _check_batch(contaminator)
         _check_batch(victim)
+
+
+def test_ref_lower_frozen_expectations():
+    """ref_lower routes through pc.utf8_lower — the engine kernel
+    itself — so the gate alone cannot see a deterministic utf8_lower
+    defect.  Freeze the expected utf8proc simple-mapping outputs for
+    the caseful adversarial codepoints as literals; if a pyarrow
+    upgrade (or a latent bug) changes them, this goes red instead of
+    both pipeline sides silently agreeing on wrong tokens."""
+    expected = {
+        "HELLO World 123": "hello world 123",
+        "AΣ": "aσ",        # simple mapping: NO final-sigma context rule
+        "ΟΔΟΣ": "οδοσ",
+        "İstanbul": "istanbul",  # dotted İ → plain i (no combining dot)
+        "Iı İi": "iı ii",
+        "STRASSE ß": "strasse ß",  # ß is already lowercase; no SS fold
+        "ÀÉÎÕÜ": "àéîõü",
+        "ЖУРНАЛ": "журнал",
+        "日本語🚀": "日本語🚀",
+    }
+    for src, want in expected.items():
+        assert sighash.ref_lower(src) == want, (src, sighash.ref_lower(src))
