@@ -39,15 +39,64 @@ def read_manifest(out_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"done_buckets": [], "n_buckets": None}
+    return {"done_buckets": [], "n_buckets": None, "snapshot_id": 0, "snapshots": []}
 
 
-def _write_manifest(out_dir: str, manifest: dict) -> None:
+def _write_manifest(out_dir: str, manifest: dict, operation: str = "wave") -> None:
+    """Atomic manifest commit, Iceberg-snapshot style: every commit gets
+    a monotonically increasing ``snapshot_id`` and appends its state to
+    the ``snapshots`` history, so any prior checkpoint state is
+    reconstructible (``manifest_as_of``) and the job can roll back to
+    one (``rollback_to_snapshot``) — the parquet-side analog of the
+    reference's workflow-keyed cache generations.  With a real Iceberg
+    catalog these commits become table snapshots and the API is
+    unchanged; DATA time travel (reading old file sets) needs the
+    catalog's file-level manifests and is documented as env-blocked."""
+    sid = int(manifest.get("snapshot_id", 0)) + 1
+    manifest["snapshot_id"] = sid
+    history = manifest.setdefault("snapshots", [])
+    history.append(
+        {
+            "snapshot_id": sid,
+            "operation": operation,
+            "done_buckets": sorted(manifest["done_buckets"]),
+            "n_buckets": manifest["n_buckets"],
+        }
+    )
     p = os.path.join(out_dir, MANIFEST)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, p)  # atomic commit
+
+
+def manifest_as_of(out_dir: str, snapshot_id: int) -> dict:
+    """Checkpoint state as of a snapshot id (exact match required)."""
+    manifest = read_manifest(out_dir)
+    for snap in manifest.get("snapshots", []):
+        if snap["snapshot_id"] == snapshot_id:
+            return {
+                "done_buckets": list(snap["done_buckets"]),
+                "n_buckets": snap["n_buckets"],
+                "snapshot_id": snapshot_id,
+            }
+    raise KeyError(f"no snapshot {snapshot_id} in {out_dir}")
+
+
+def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
+    """Roll the CURRENT checkpoint state back to a prior snapshot.
+
+    Like Iceberg's rollback, this is itself a NEW commit (ids stay
+    monotonic; history is never rewritten).  Buckets completed after
+    the target snapshot become pending again; re-running the job
+    re-extracts exactly those buckets via the idempotent
+    partition-overwrite path, so the result is byte-stable."""
+    target = manifest_as_of(out_dir, snapshot_id)
+    manifest = read_manifest(out_dir)
+    manifest["done_buckets"] = sorted(target["done_buckets"])
+    manifest["n_buckets"] = target["n_buckets"]
+    _write_manifest(out_dir, manifest, operation=f"rollback_to_{snapshot_id}")
+    return manifest
 
 
 def run_checkpointed_extraction(
@@ -101,7 +150,7 @@ def run_checkpointed_extraction(
         extracted.unpersist()
         done.update(wave)
         manifest["done_buckets"] = sorted(done)
-        _write_manifest(out_dir, manifest)
+        _write_manifest(out_dir, manifest, operation=f"wave:{sorted(wave)}")
     return out_dir
 
 
@@ -163,5 +212,5 @@ def delete_conversations(
         manifest.setdefault("deletions", []).append(
             {"conv_ids": sorted(conv_ids), "rows_by_bucket": {str(k): v for k, v in deleted.items()}}
         )
-        _write_manifest(out_dir, manifest)
+        _write_manifest(out_dir, manifest, operation="delete")
     return deleted

@@ -63,6 +63,56 @@ class TestResume:
         lin = spark.read.parquet(os.path.join(out, "lineage"))
         assert lin.agg(F.sum("rows_out")).collect()[0][0] == got.count()
 
+    def test_snapshot_history_and_rollback(self, spark, small_corpus, tmp_path_factory):
+        """Iceberg-style snapshot checkpoints on the manifest layer:
+        every wave commit is a monotonically numbered snapshot;
+        manifest_as_of reconstructs any prior state; rollback is itself
+        a NEW snapshot (history never rewritten) and re-running after a
+        rollback re-extracts exactly the rolled-back buckets to a
+        byte-stable result."""
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            manifest_as_of,
+            rollback_to_snapshot,
+        )
+
+        src = spark.read.parquet(small_corpus)
+        out = str(tmp_path_factory.mktemp("snap") / "run")
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        m = read_manifest(out)
+        assert m["snapshot_id"] == 4  # four waves → four commits
+        ops = [snap["operation"] for snap in m["snapshots"]]
+        assert len(ops) == 4 and all(op.startswith("wave:") for op in ops)
+        # as-of the second commit only two waves were done
+        mid = m["snapshots"][1]["snapshot_id"]
+        state = manifest_as_of(out, mid)
+        assert len(state["done_buckets"]) == 4
+
+        before = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in spark.read.parquet(os.path.join(out, "extracted"))
+            .select("conv_id", "turn_idx", "extracted_text")
+            .collect()
+        }
+        # rollback → those buckets become pending again, ids stay monotonic
+        rolled = rollback_to_snapshot(out, mid)
+        assert rolled["snapshot_id"] == 5
+        assert rolled["snapshots"][-1]["operation"] == f"rollback_to_{mid}"
+        pend = resume_pending(out, 8)
+        assert len(pend) == 4
+        # resume re-extracts the rolled-back buckets idempotently
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        assert resume_pending(out, 8) == []
+        after = {
+            (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+            for r in spark.read.parquet(os.path.join(out, "extracted"))
+            .select("conv_id", "turn_idx", "extracted_text")
+            .collect()
+        }
+        assert after == before
+        assert read_manifest(out)["snapshot_id"] == 7  # two more waves
+        with pytest.raises(KeyError):
+            manifest_as_of(out, 99)
+
     def test_rerun_completed_is_noop(self, spark, small_corpus, tmp_path_factory):
         src = spark.read.parquet(small_corpus)
         out = str(tmp_path_factory.mktemp("ckpt2") / "run")
