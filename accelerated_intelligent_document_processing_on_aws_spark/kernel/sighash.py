@@ -132,12 +132,23 @@ def remix_params(num_hashes: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray
 # ---------------------------------------------------------------------------
 
 def _string_parts(sa: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(flat uint8 data, starts, ends) of a string/large_string array."""
+    """(flat uint8 data, starts, ends) of a string/large_string array.
+
+    Null slots are explicitly masked to empty ranges (``end = start``):
+    the Arrow spec allows ARBITRARY offset values under null validity
+    bits, so an array from IPC / a foreign producer may carry non-empty
+    offset ranges for null rows.  Trusting builder convention there
+    would emit phantom tokens for null rows where the reference path
+    returns NULL (regression-pinned in tests/test_sighash_equiv.py).
+    """
     buf_off, buf_dat = sa.buffers()[1], sa.buffers()[2]
     off_t = np.int64 if pa.types.is_large_string(sa.type) else np.int32
     offs = np.frombuffer(buf_off, dtype=off_t)
     starts = offs[sa.offset : sa.offset + len(sa)].astype(np.int64)
     ends = offs[sa.offset + 1 : sa.offset + 1 + len(sa)].astype(np.int64)
+    if sa.null_count:
+        valid = np.asarray(sa.is_valid())
+        ends = np.where(valid, ends, starts)
     data = (
         np.frombuffer(buf_dat, dtype=np.uint8)
         if buf_dat is not None

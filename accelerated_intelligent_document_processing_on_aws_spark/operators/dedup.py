@@ -97,10 +97,17 @@ def minhash_bands_shingles_udf(
     vector is the signature's input; emitting it costs nothing).
 
     Jaccard over the hash sets equals Jaccard over the string shingle
-    sets (a shingle string is determined by its token tuple, and
-    fmix64(polyhash) collisions are ~n²·2⁻⁶⁴ — negligible at any
-    realistic per-doc shingle count), so the exact verify can run on
-    these compact int64 arrays without ever touching the text again.
+    sets FOR NON-ADVERSARIAL INPUT: a shingle string is determined by
+    its token tuple, and random fmix64(polyhash) collisions are
+    ~n²·2⁻⁶⁴ — negligible at any realistic per-doc shingle count.  The
+    family is NOT collision-resistant against a crafting adversary:
+    fmix64 is invertible and base-P polyhash mod 2⁶⁴ admits
+    constructible collisions for any fixed odd base (Thue-Morse-style
+    anti-hash inputs), so on untrusted web corpora crafted documents
+    could inflate hash-set Jaccard past the verify threshold.  For
+    adversarial settings use ``minhash_lsh_pairs(carry_shingles=False)``
+    — its verify recomputes STRING shingle sets (exact set Jaccard, no
+    hash involved) — or swap this kernel for a keyed cryptographic hash.
     Returns NULL for token-less text."""
     from ..kernel import sighash
     from pyspark.sql.functions import pandas_udf
@@ -401,10 +408,14 @@ def minhash_lsh_pairs(
       docs); the text column is never shuffled or re-read.
     - ``carry_shingles=False``: ship only (band_idx, band_hash, id),
       then semi-join candidates back to the corpus and verify on
-      recomputed shingle sets.  Minimum shuffle volume, but a second
-      full scan of the text column + two joins — prefer it only when
+      recomputed STRING shingle sets.  Minimum shuffle volume, but a
+      second full scan of the text column + two joins — prefer it when
       per-doc shingle sets are huge (very long documents) relative to
-      the candidate count."""
+      the candidate count, or when the corpus is UNTRUSTED: the string
+      verify is exact set Jaccard with no hash in the loop, so crafted
+      polyhash collisions (see :func:`minhash_bands_shingles_udf`'s
+      threat-model note) cannot push a non-duplicate past the
+      threshold."""
     if carry_shingles:
         return _minhash_pairs_carry(
             docs, id_col, text_col, shingle_n, num_hashes, bands,

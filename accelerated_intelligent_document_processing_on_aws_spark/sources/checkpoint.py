@@ -42,27 +42,57 @@ def read_manifest(out_dir: str) -> dict:
     return {"done_buckets": [], "n_buckets": None, "snapshot_id": 0, "snapshots": []}
 
 
+def _replay_state(history: list[dict], upto_snapshot_id: int | None = None) -> set:
+    """Reconstruct ``done_buckets`` as of a snapshot id by replaying the
+    delta history (or the FULL history when ``upto_snapshot_id`` is
+    None).  Entries may be delta-form (``added``/``removed``) or
+    legacy full-state form (``done_buckets``) — a legacy entry simply
+    resets the accumulator, so old manifests replay correctly."""
+    state: set = set()
+    for snap in history:
+        if "done_buckets" in snap:  # legacy full-state entry
+            state = set(snap["done_buckets"])
+        else:
+            state.difference_update(snap.get("removed", ()))
+            state.update(snap.get("added", ()))
+        if upto_snapshot_id is not None and snap["snapshot_id"] == upto_snapshot_id:
+            return state
+    if upto_snapshot_id is not None:
+        raise KeyError(f"no snapshot {upto_snapshot_id}")
+    return state
+
+
 def _write_manifest(out_dir: str, manifest: dict, operation: str = "wave") -> None:
     """Atomic manifest commit, Iceberg-snapshot style: every commit gets
-    a monotonically increasing ``snapshot_id`` and appends its state to
-    the ``snapshots`` history, so any prior checkpoint state is
+    a monotonically increasing ``snapshot_id`` and appends a DELTA
+    entry (buckets added/removed vs the previous snapshot) to the
+    ``snapshots`` history, so any prior checkpoint state is
     reconstructible (``manifest_as_of``) and the job can roll back to
     one (``rollback_to_snapshot``) — the parquet-side analog of the
-    reference's workflow-keyed cache generations.  With a real Iceberg
+    reference's workflow-keyed cache generations.  Deltas keep the
+    manifest O(total bucket churn), not O(waves × n_buckets) — a
+    4096-bucket wave_size-1 run stays linear, where full-state history
+    entries grew quadratically (ADVICE r5).  With a real Iceberg
     catalog these commits become table snapshots and the API is
     unchanged; DATA time travel (reading old file sets) needs the
     catalog's file-level manifests and is documented as env-blocked."""
     sid = int(manifest.get("snapshot_id", 0)) + 1
     manifest["snapshot_id"] = sid
     history = manifest.setdefault("snapshots", [])
-    history.append(
-        {
-            "snapshot_id": sid,
-            "operation": operation,
-            "done_buckets": sorted(manifest["done_buckets"]),
-            "n_buckets": manifest["n_buckets"],
-        }
-    )
+    prev = _replay_state(history)
+    cur = set(manifest["done_buckets"])
+    entry = {
+        "snapshot_id": sid,
+        "operation": operation,
+        "n_buckets": manifest["n_buckets"],
+    }
+    added = sorted(cur - prev)
+    removed = sorted(prev - cur)
+    if added:
+        entry["added"] = added
+    if removed:
+        entry["removed"] = removed
+    history.append(entry)
     p = os.path.join(out_dir, MANIFEST)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
@@ -73,30 +103,74 @@ def _write_manifest(out_dir: str, manifest: dict, operation: str = "wave") -> No
 def manifest_as_of(out_dir: str, snapshot_id: int) -> dict:
     """Checkpoint state as of a snapshot id (exact match required)."""
     manifest = read_manifest(out_dir)
-    for snap in manifest.get("snapshots", []):
-        if snap["snapshot_id"] == snapshot_id:
-            return {
-                "done_buckets": list(snap["done_buckets"]),
-                "n_buckets": snap["n_buckets"],
-                "snapshot_id": snapshot_id,
-            }
-    raise KeyError(f"no snapshot {snapshot_id} in {out_dir}")
+    history = manifest.get("snapshots", [])
+    try:
+        state = _replay_state(history, snapshot_id)
+    except KeyError:
+        raise KeyError(f"no snapshot {snapshot_id} in {out_dir}") from None
+    n_buckets = next(
+        s["n_buckets"] for s in history if s["snapshot_id"] == snapshot_id
+    )
+    return {
+        "done_buckets": sorted(state),
+        "n_buckets": n_buckets,
+        "snapshot_id": snapshot_id,
+    }
 
 
-def rollback_to_snapshot(out_dir: str, snapshot_id: int) -> dict:
+def rollback_to_snapshot(
+    out_dir: str, snapshot_id: int, allow_undelete: bool = False
+) -> dict:
     """Roll the CURRENT checkpoint state back to a prior snapshot.
 
     Like Iceberg's rollback, this is itself a NEW commit (ids stay
     monotonic; history is never rewritten).  Buckets completed after
     the target snapshot become pending again; re-running the job
     re-extracts exactly those buckets via the idempotent
-    partition-overwrite path, so the result is byte-stable."""
+    partition-overwrite path, so the result is byte-stable.
+
+    COMPLIANCE GUARD: if a ``delete_conversations`` commit exists AFTER
+    the target snapshot, re-extracting the rolled-back buckets would
+    silently RESURRECT the deleted conversations (the source corpus
+    still contains them).  Such rollbacks are refused unless
+    ``allow_undelete=True`` is passed explicitly; callers who force it
+    must re-apply the audit log with :func:`replay_deletions` after the
+    resumed run to restore compliance (ADVICE r5)."""
     target = manifest_as_of(out_dir, snapshot_id)
     manifest = read_manifest(out_dir)
+    later_deletes = [
+        s
+        for s in manifest.get("snapshots", [])
+        if s["snapshot_id"] > snapshot_id and s["operation"] == "delete"
+    ]
+    if later_deletes and not allow_undelete:
+        ids = [s["snapshot_id"] for s in later_deletes]
+        raise ValueError(
+            f"rollback to snapshot {snapshot_id} crosses delete commit(s) "
+            f"{ids}: re-extraction would resurrect deleted conversations. "
+            "Pass allow_undelete=True to force, then run replay_deletions() "
+            "after the resumed extraction to re-apply the deletion audit log."
+        )
     manifest["done_buckets"] = sorted(target["done_buckets"])
     manifest["n_buckets"] = target["n_buckets"]
     _write_manifest(out_dir, manifest, operation=f"rollback_to_{snapshot_id}")
     return manifest
+
+
+def replay_deletions(spark: SparkSession, out_dir: str) -> dict:
+    """Re-apply every logged ``delete_conversations`` audit entry to the
+    current extracted output — the recovery step after a forced
+    rollback (``allow_undelete=True``) + resume re-extracted buckets
+    containing conversations that had been deleted.  Idempotent: a
+    conversation already absent deletes zero rows.  Returns the merged
+    ``{bucket: n_deleted}`` across all replayed entries."""
+    manifest = read_manifest(out_dir)
+    all_ids = sorted(
+        {c for entry in manifest.get("deletions", []) for c in entry["conv_ids"]}
+    )
+    if not all_ids:
+        return {}
+    return delete_conversations(spark, out_dir, all_ids)
 
 
 def run_checkpointed_extraction(

@@ -113,6 +113,109 @@ class TestResume:
         with pytest.raises(KeyError):
             manifest_as_of(out, 99)
 
+    def test_snapshot_history_is_delta_encoded(
+        self, spark, small_corpus, tmp_path_factory
+    ):
+        """History entries store per-commit deltas (buckets added /
+        removed), not the full done_buckets list — manifest bytes stay
+        O(total churn) over a long many-wave run, not
+        O(waves × n_buckets) (ADVICE r5).  Legacy full-state entries
+        still replay (back-compat path in _replay_state)."""
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            _replay_state,
+            manifest_as_of,
+        )
+
+        src = spark.read.parquet(small_corpus)
+        out = str(tmp_path_factory.mktemp("delta") / "run")
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        m = read_manifest(out)
+        total_listed = 0
+        for snap in m["snapshots"]:
+            assert "done_buckets" not in snap  # delta form, not full state
+            total_listed += len(snap.get("added", [])) + len(snap.get("removed", []))
+        assert total_listed == 8  # each bucket appears exactly once
+        # replay reconstructs every intermediate state
+        for i, snap in enumerate(m["snapshots"]):
+            state = manifest_as_of(out, snap["snapshot_id"])
+            assert len(state["done_buckets"]) == 2 * (i + 1)
+        # legacy manifests (full-state entries) replay identically
+        legacy = [
+            {"snapshot_id": 1, "operation": "wave", "done_buckets": [0, 1]},
+            {"snapshot_id": 2, "operation": "wave", "done_buckets": [0, 1, 2, 3]},
+            {"snapshot_id": 3, "operation": "rollback_to_1", "done_buckets": [0, 1]},
+        ]
+        assert _replay_state(legacy, 2) == {0, 1, 2, 3}
+        assert _replay_state(legacy, 3) == {0, 1}
+
+    def test_rollback_crossing_delete_refused_then_replayed(
+        self, spark, small_corpus, tmp_path_factory
+    ):
+        """Rolling back past a delete_conversations commit would
+        resurrect the deleted conversations on resume (the source
+        corpus still has them).  Such rollbacks are refused unless
+        forced with allow_undelete=True, and replay_deletions restores
+        compliance after the forced resume (ADVICE r5, medium)."""
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            delete_conversations,
+            manifest_as_of,
+            replay_deletions,
+            rollback_to_snapshot,
+        )
+
+        src = spark.read.parquet(small_corpus)
+        out = str(tmp_path_factory.mktemp("undel") / "run")
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        last_wave_sid = read_manifest(out)["snapshot_id"]
+        ext = spark.read.parquet(os.path.join(out, "extracted"))
+        # victims must live in buckets the forced rollback will re-extract,
+        # or the resurrection hazard can't manifest
+        sid1 = read_manifest(out)["snapshots"][1]["snapshot_id"]
+        done_at_sid1 = set(manifest_as_of(out, sid1)["done_buckets"])
+        rolled_back = sorted(set(range(8)) - done_at_sid1)
+        victims = [
+            r["conv_id"]
+            for r in ext.where(F.col("bucket").isin(rolled_back))
+            .select("conv_id")
+            .distinct()
+            .limit(3)
+            .collect()
+        ]
+        assert victims
+        deleted = delete_conversations(spark, out, victims)
+        assert sum(deleted.values()) > 0
+
+        # refuse: target snapshot precedes the delete commit
+        with pytest.raises(ValueError, match="resurrect"):
+            rollback_to_snapshot(out, sid1)
+        # rollback to a snapshot AFTER the delete commit is fine
+        delete_sid = read_manifest(out)["snapshot_id"]
+        assert read_manifest(out)["snapshots"][-1]["operation"] == "delete"
+        rollback_to_snapshot(out, delete_sid)
+
+        # forced rollback past the delete, resume, then replay the log
+        forced = rollback_to_snapshot(out, sid1, allow_undelete=True)
+        assert len(resume_pending(out, 8)) == 4
+        run_checkpointed_extraction(spark, src, out, n_buckets=8, wave_size=2)
+        resurrected = (
+            spark.read.parquet(os.path.join(out, "extracted"))
+            .where(F.col("conv_id").isin(victims))
+            .count()
+        )
+        assert resurrected > 0  # the hazard is real: resume undid the delete
+        replay_deletions(spark, out)
+        assert (
+            spark.read.parquet(os.path.join(out, "extracted"))
+            .where(F.col("conv_id").isin(victims))
+            .count()
+            == 0
+        )
+        # delete commits never mutate bucket state
+        as_of_delete = manifest_as_of(out, delete_sid)
+        as_of_wave = manifest_as_of(out, last_wave_sid)
+        assert as_of_delete["done_buckets"] == as_of_wave["done_buckets"]
+        _ = forced
+
     def test_rerun_completed_is_noop(self, spark, small_corpus, tmp_path_factory):
         src = spark.read.parquet(small_corpus)
         out = str(tmp_path_factory.mktemp("ckpt2") / "run")

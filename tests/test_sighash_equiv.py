@@ -202,3 +202,51 @@ def test_ref_lower_frozen_expectations():
     }
     for src, want in expected.items():
         assert sighash.ref_lower(src) == want, (src, sighash.ref_lower(src))
+
+
+def test_phantom_null_offsets_masked():
+    """The Arrow spec allows non-empty offset ranges under null validity
+    bits (only monotonicity is required).  An IPC/foreign producer can
+    therefore hand the kernel a null slot whose offsets span live bytes
+    — `_string_parts` must mask those slots, not trust builder
+    convention, or null rows emit phantom tokens where the reference
+    returns NULL (ADVICE r5)."""
+    data = b"hello world PHANTOM TOKENS here tail pad"
+    # row0 = "hello world" (valid), row1 = null spanning live bytes,
+    # row2 = "tail" (valid)
+    offsets = np.array([0, 11, 32, 36], np.int32)
+    validity = np.packbits(
+        np.array([1, 0, 1], np.uint8), bitorder="little"
+    )
+    arr = pa.Array.from_buffers(
+        pa.string(),
+        3,
+        [
+            pa.py_buffer(validity.tobytes()),
+            pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(data),
+        ],
+        null_count=1,
+    )
+    canonical = pa.array(["hello world", None, "tail"], type=pa.string())
+
+    _, counts = sighash.tokenize_hash_batch(arr)
+    assert counts.tolist() == [2, 0, 1]
+    th_p, c_p = sighash.tokenize_hash_batch(arr)
+    th_c, c_c = sighash.tokenize_hash_batch(canonical)
+    assert c_p.tolist() == c_c.tolist()
+    assert th_p.tolist() == th_c.tolist()
+
+    hp = sighash.hash_strings(arr)
+    hc = sighash.hash_strings(canonical)
+    assert hp.tolist() == hc.tolist()
+
+    got_b, got_s = sighash.minhash_bands_batch(arr, N, A, B, BANDS, want_shingles=True)
+    assert got_b[1] is None and got_s[1] is None
+    want_b, want_s = sighash.minhash_bands_batch(
+        canonical, N, A, B, BANDS, want_shingles=True
+    )
+    assert [None if x is None else list(x) for x in got_b] == [
+        None if x is None else list(x) for x in want_b
+    ]
+    assert sighash.simhash_batch(arr) == sighash.simhash_batch(canonical)
