@@ -393,6 +393,85 @@ def quality_scores(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_keep_representative_docs",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id % 4 = 0
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), und AS (
+      SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p
+    ), closure(a, b) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT c.a, u.d FROM closure c JOIN und u ON c.b = u.s
+    ), clusters AS (
+      SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM closure GROUP BY a
+    ), qf AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         tk -> tk <> '') AS toks,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM documents WHERE doc_id % 4 = 0
+    ), qg AS (
+      SELECT doc_id, n_chars, n_punct, len(toks) AS n_tokens,
+             len(list_filter(toks, tk -> list_contains({_STOP_SQL}, tk))) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_token_len
+      FROM qf
+    ), score AS (
+      SELECT doc_id,
+             ROUND(LEAST(n_tokens/100.0, 1.0)*0.4
+                   + (1.0 - LEAST(CASE WHEN n_chars > 0
+                                       THEN CAST(n_punct AS DOUBLE)/n_chars
+                                       ELSE 0.0 END * 5.0, 1.0))*0.2
+                   + LEAST(CASE WHEN n_tokens > 0
+                                THEN CAST(n_stop AS DOUBLE)/n_tokens
+                                ELSE 0.0 END * 4.0, 1.0)*0.2
+                   + CASE WHEN mean_token_len >= 3 AND mean_token_len <= 10
+                          THEN 1.0 ELSE 0.0 END*0.2, 6) AS s
+      FROM qg
+    ), losers AS (
+      SELECT id AS doc_id FROM (
+        SELECT c.id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY sc.s DESC, c.id ASC) AS rk
+        FROM clusters c JOIN score sc ON c.id = sc.doc_id
+      ) WHERE rk > 1
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE d.doc_id % 4 = 0 AND l.doc_id IS NULL
+    """,
+)
+def dedup_keep_representative_docs(spark, sf_dir):
+    """Near-dup clusters keep their BEST-quality member (C4/RefinedWeb
+    curation rule; ``operators/dedup.py:dedup_keep_representative``):
+    n-gram Jaccard pairs → connected components → quality-ranked winner
+    per cluster (max composite ``quality_score``, tie → min doc_id) →
+    broadcast anti-join of the losers against the corpus.  The oracle
+    recomputes the same result with a recursive transitive closure and
+    a window rank — feasible because fixture components are small,
+    while the Spark path (iterative min-label propagation + clusters-
+    only quality scoring) is the one that scales."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    pairs = dedup.ngram_jaccard_pairs(d, "source", n=2, threshold=0.5)
+    kept = dedup.dedup_keep_representative(d, pairs, id_col="doc_id")
+    return kept.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

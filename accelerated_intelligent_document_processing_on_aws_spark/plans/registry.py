@@ -16,87 +16,70 @@ from __future__ import annotations
 
 from . import analytics, corpus_queries, parity_queries, pipeline_queries
 
-# Oracle-paired queries with no driver-level correctness evidence yet
-# (registry positions >= 50 in rounds 1-2), plus everything new this
-# round.  These MUST occupy positions 0..len(FRONT)-1.
-# Round-5 FRONT (verdict item 2 — finish the evidence rotation and
-# clean the ledger).  50 slots total:
-#   [0..26]  the 27 oracle-paired queries whose only green rows are
-#            r1/r2 (oldest evidence first, per the verdict's list);
-#   [27..x]  queries whose implementation changed THIS round (the two
-#            md5-sketch fixes) plus new round-5 oracle-paired queries —
-#            new names are appended to FRONT_R5_NEW as they land;
-#   [tail]   the 12 rows-only entries re-presented so
-#            pipeline_sections_bio finally gets a clean
-#            (post-_stringify_sections) driver row replacing its
-#            r1-era canonicalizer error.
-FRONT_STALE_R1R2 = [
-    "star_join_regional_sales",
-    "supplier_lineitem_rollup",
-    "topk_customers_by_spend",
-    "union_shards",
-    "join_avg_by_segment",
-    "gaps_islands_sessions",
-    "sessionize_time_gap",
-    "price_vs_global_avg",
-    "agg_discipline_max_per_doc",
-    "conditional_agg_pivot",
-    "confidence_band_accuracy",
-    "count_distinct_filtered",
-    "date_functions",
-    "string_functions",
-    "ratio_by_priority",
-    "semi_join_active",
-    "sum_by_context",
-    "cost_model_broadcast",
-    "anti_join_resume",
-    "sequence_explode_ranges",
-    "majority_vote_mode",
-    "min_normalized_index",
-    "window_lag_lead",
-    "row_number_ordinals",
-    "chunk_counts",
-    "summarize_head_tokens",
-    "csv_markdown_rows",
+# Round-6 FRONT (r5 verdict item 2 — evidence-age rotation).  50 slots:
+#   [0]      the new round-6 oracle-paired query (keep-representative
+#            finally gets a driver-level correctness row — verdict
+#            item 3);
+#   [1..49]  the 49 oracle-paired queries whose latest driver evidence
+#            is r3 (oldest-first per the verdict's list) — after r6 no
+#            oracle-paired query's evidence is older than r4.
+FRONT_R6_NEW = [
+    "dedup_keep_representative_docs",
 ]
 
-# Implementations touched in round 5 → must be re-presented even though
-# they carry green r4 rows (shingle guard / empty-doc pin).
-FRONT_R5_CHANGED = [
-    "minhash_md5_signature",
-    "simhash_md5_fingerprint",
-    # sf0.1 sweep catch: err was silently computed against the ROUNDED
-    # scale via same-select alias shadowing; fixed + must re-verify
-    "embedding_int8_quantization",
+FRONT_STALE_R3 = [
+    "paginate_lines",
+    "rule_validation_summary",
+    "curation_pipeline_stats",
+    "sections_bio_events",
+    "image_decode_stats",
+    "semantic_cosine_eval",
+    "eval_rollup_docs",
+    "split_eval_metrics",
+    "page_classification_accuracy_events",
+    "payload_kind_sniff",
+    "asof_join_events_chunked",
+    "audio_decode_stats",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "zorder_keys",
+    "percentile_scores",
+    "session_window_agg",
+    "variant_props_rollup",
+    "gopher_quality_flags",
+    "repetition_stats_docs",
+    "pii_scrub_docs",
+    "blocklist_fraction_docs",
+    "decontaminate_train_docs",
+    "tfidf_top_terms",
+    "section_text_events",
+    "single_class_sections_events",
+    "name_regex_fastpath",
+    "limited_vote_propagate",
+    "sections_page_events",
+    "asof_join_events",
+    "range_join_windows",
+    "alerts_per_class_threshold",
+    "stickler_config_eval",
+    "judge_rule_cascade",
+    "hungarian_list_compare",
+    "hash_split_conversations",
+    "stratified_hash_sample",
+    "pack_token_windows",
+    "near_dup_clusters",
+    "training_data_pipeline",
+    "multimodal_features",
+    "excel_sheet_pages",
+    "word_elements_docs",
+    "string_to_list_coercion",
+    "empty_schema_skip",
+    "flatten_dot_notation",
+    "discover_class_attributes",
+    "json_repair_ragged",
+    "json_yaml_detect",
 ]
 
-# New round-5 oracle-paired queries: append here as they are added.
-FRONT_R5_NEW = [
-    "paragraph_dedup_groupby_docs",
-    "split_leakage_exact",
-    "intra_doc_line_dedup",
-]
-
-# Rows-only re-presentation block — MUST stay exactly 12 names and sit
-# at the FRONT tail (driver slots 38..49 when the middle blocks fill).
-FRONT_ROWS_ONLY_TAIL = [
-    "pipeline_extract_turns",
-    "pipeline_sections_bio",
-    "pipeline_sections_majority",
-    "pipeline_lineage",
-    "pipeline_confidence_alerts",
-    "pipeline_section_text",
-    "minhash_lsh_near_dup",
-    "simhash_near_dup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_rerank_topk",
-    "pipeline_evaluation_report",
-]
-
-FRONT = (
-    FRONT_STALE_R1R2 + FRONT_R5_CHANGED + FRONT_R5_NEW + FRONT_ROWS_ONLY_TAIL
-)
+FRONT = FRONT_R6_NEW + FRONT_STALE_R3
 
 _ALL: dict = {}
 _ORACLE_SQL: dict = {}

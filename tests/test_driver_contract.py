@@ -98,26 +98,21 @@ def test_entry_smoke(spark):
 
 def test_registry_front_invariant():
     """The correctness driver verifies only the FIRST 50 registry
-    entries.  Round-5 shape (verdict item 2): FRONT = 27 stale-evidence
-    oracle-paired queries, then round-5 changed/new oracle-paired
-    queries, then EXACTLY the 12 rows-only entries re-presented at the
-    tail so their cumulative ledger rows are refreshed (notably
-    pipeline_sections_bio's r1-era canonicalizer error).  FRONT must
-    fit entirely inside the 50 driver slots."""
+    entries.  Round-6 shape (r5 verdict item 2): FRONT = the new
+    round-6 oracle-paired query, then the 49 oracle-paired queries
+    whose latest driver evidence is r3 (oldest-first) — after r6 no
+    oracle-paired query's evidence is older than r4.  FRONT must fill
+    the 50 driver slots exactly and be all oracle-paired."""
     from accelerated_intelligent_document_processing_on_aws_spark.plans import registry
 
     names = list(registry.QUERIES)
     assert names[: len(registry.FRONT)] == registry.FRONT
-    assert len(registry.FRONT) <= 50, "FRONT overflows the 50 driver slots"
-    # every FRONT entry before the rows-only tail is oracle-paired
-    head = registry.FRONT[: -len(registry.FRONT_ROWS_ONLY_TAIL)]
-    assert all(n in registry.ORACLES for n in head), [
-        n for n in head if n not in registry.ORACLES
+    assert len(registry.FRONT) == 50, "FRONT must fill the 50 driver slots"
+    assert all(n in registry.ORACLES for n in registry.FRONT), [
+        n for n in registry.FRONT if n not in registry.ORACLES
     ]
-    assert len(registry.FRONT_ROWS_ONLY_TAIL) == 12
-    assert all(
-        n not in registry.ORACLES for n in registry.FRONT_ROWS_ONLY_TAIL
-    )
+    assert len(registry.FRONT_STALE_R3) == 49
+    assert registry.FRONT[0] == "dedup_keep_representative_docs"
     # outside FRONT, oracle-paired entries still precede rows-only ones
     rest = names[len(registry.FRONT) :]
     kinds = [n in registry.ORACLES for n in rest]
