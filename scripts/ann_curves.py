@@ -8,6 +8,11 @@ and at what cost.  One Spark session; truth computed once; each setting
 timed as a full action (collect of the top-k result) after a warmup.
 
 Usage: python scripts/ann_curves.py [sf_dir]  (default /root/testdata/sf0.1)
+       python scripts/ann_curves.py --structured [n_vecs] [dim]
+The --structured mode (round-5 verdict stretch item) sweeps the same
+legs over the deterministic mixture-of-Gaussians corpus
+(fixtures/embeddings.py) — the clustered regime IVF/PQ are built for;
+the parquet corpus is near-uniform on the sphere, their worst case.
 Prints a markdown table + one JSON line.
 """
 
@@ -35,7 +40,12 @@ def main() -> None:
         get_spark,
     )
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    structured = len(sys.argv) > 1 and sys.argv[1] == "--structured"
+    sf_dir = (
+        "structured"
+        if structured
+        else (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+    )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         app_name="ann-curves",
@@ -45,7 +55,16 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    if structured:
+        from accelerated_intelligent_document_processing_on_aws_spark.fixtures.embeddings import (
+            clustered_embeddings_df,
+        )
+
+        n_vecs_arg = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+        dim_arg = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+        emb = clustered_embeddings_df(spark, n_vecs=n_vecs_arg, dim=dim_arg).cache()
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n_vecs = emb.count()
     dim = len(emb.select("embedding").first()[0])
     qs = (

@@ -7,7 +7,12 @@ query at sf0.1 and reports any SF-dependent divergence (float
 accumulation order, percentile interpolation, overflow) before the
 driver can find one.
 
-Usage: python scripts/sf01_sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+Usage: python scripts/sf01_sweep.py [sf_dir] [only]
+  sf_dir  default /root/testdata/sf0.1; any directory with the same
+          table set works (e.g. the /tmp/sf1 fixture from make_sf1.py)
+  only    optional comma-separated query names — round-5 verdict item
+          6 sweeps the ~20 heaviest oracle pairs at sf1 rather than
+          all 130
 Prints one line per failing query + a summary JSON line.
 """
 
@@ -71,6 +76,12 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
+        unknown = only - set(oracles)
+        if unknown:
+            raise SystemExit(f"unknown/unpaired queries: {sorted(unknown)}")
+        oracles = {n: oracles[n] for n in only}
     failed, passed = [], 0
     t_start = time.time()
     for name in sorted(oracles):

@@ -355,6 +355,22 @@ class TestDuplicateClusters:
         got = {r["id"]: r["cluster_id"] for r in dedup.duplicate_clusters(pairs).collect()}
         assert got == {i: 0 for i in range(n + 1)}
 
+    def test_deep_chain_pointer_jumping(self, spark):
+        """Round-6 scale-drill regression: the 2.6M-turn corpus held a
+        near-dup chain >20 hops deep and plain O(diameter) propagation
+        blew the default 20-round budget.  Pointer jumping (label-of-
+        label per round) must collapse a 200-hop path within the same
+        default budget — 200 > 2^7, impossible without the shortcut."""
+        n = 200
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.duplicate_clusters(pairs).collect()
+        }
+        assert got == {i: 0 for i in range(n + 1)}
+
 
 class TestSamplingOps:
     def test_hash_split_deterministic_and_leak_free(self, spark):
