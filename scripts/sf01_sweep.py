@@ -13,7 +13,13 @@ Usage: python scripts/sf01_sweep.py [sf_dir] [only]
   only    optional comma-separated query names — round-5 verdict item
           6 sweeps the ~20 heaviest oracle pairs at sf1 rather than
           all 130
-Prints one line per failing query + a summary JSON line.
+Prints one PASS/FAIL line per query (with spark/oracle wall seconds)
+plus a summary JSON line.  ``SWEEP_ORACLE_TIMEOUT`` (seconds, default
+600) arms a watchdog that ``con.interrupt()``s a runaway DuckDB oracle
+— at sf1 the key-shifted replication turns every document into a
+10-clique of exact near-dups, and a recursive-closure oracle that is
+seconds at sf0.1 can go super-linear; a timed-out oracle is reported
+as ORACLE_TIMEOUT (an oracle-cost fact, not a Spark-correctness fail).
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ import json
 import math
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,12 +89,23 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown/unpaired queries: {sorted(unknown)}")
         oracles = {n: oracles[n] for n in only}
-    failed, passed = [], 0
+    oracle_timeout = float(os.environ.get("SWEEP_ORACLE_TIMEOUT", "600"))
+    failed, timed_out, passed = [], [], 0
     t_start = time.time()
     for name in sorted(oracles):
+        t_spark = t_oracle = 0.0
         try:
+            t0 = time.time()
             got = queries[name](spark, sf_dir).toPandas()
-            want = con.execute(oracles[name]).fetchdf()
+            t_spark = time.time() - t0
+            hit = threading.Timer(oracle_timeout, con.interrupt)
+            hit.start()
+            t0 = time.time()
+            try:
+                want = con.execute(oracles[name]).fetchdf()
+            finally:
+                hit.cancel()
+                t_oracle = time.time() - t0
             gc, gr = _canon(got)
             wc, wr = _canon(want)
             if gc != wc:
@@ -102,9 +120,22 @@ def main() -> None:
                 else:
                     passed += 1
         except Exception as e:  # noqa: BLE001
-            failed.append((name, f"ERROR {type(e).__name__}: {e}"))
+            if "INTERRUPT" in (str(e) + type(e).__name__).upper():
+                timed_out.append(name)
+                print(
+                    f"ORACLE_TIMEOUT {name}: spark ok in {t_spark:.1f}s, "
+                    f"duckdb oracle cut at {oracle_timeout:.0f}s",
+                    flush=True,
+                )
+            else:
+                failed.append((name, f"ERROR {type(e).__name__}: {e}"))
         if failed and failed[-1][0] == name:
             print(f"FAIL {name}: {failed[-1][1][:300]}", flush=True)
+        elif not (timed_out and timed_out[-1] == name):
+            print(
+                f"PASS {name} (spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)",
+                flush=True,
+            )
     print(
         json.dumps(
             {
@@ -112,6 +143,7 @@ def main() -> None:
                 "oracle_paired": len(oracles),
                 "passed": passed,
                 "failed": [n for n, _ in failed],
+                "oracle_timeout": timed_out,
                 "wall_sec": round(time.time() - t_start, 1),
             }
         )
