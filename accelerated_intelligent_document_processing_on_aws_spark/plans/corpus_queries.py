@@ -133,13 +133,25 @@ def semantic_cosine_eval(spark, sf_dir):
     deterministic hashed char-ngram embedding + cosine threshold,
     mirroring the reference's embed-then-cosine comparator
     (``evaluation/comparator.py:422-492``) with md5 as the cross-engine
-    hash so the oracle recomputes the exact vectors in SQL."""
+    hash so the oracle recomputes the exact vectors in SQL.
+
+    The unrounded score is evaluated ONCE in an inner projection and
+    both outputs derive from it — higher-order-function lambdas defeat
+    Catalyst CSE, so calling ``semantic_score`` and ``compare_semantic``
+    side by side evaluates the O(len·dim) embedding tree twice per row
+    (the sf1 sweep measured this query at 90.6 s spark-side, 7× any
+    other survivor).  ``is_match`` thresholds the UNROUNDED score,
+    exactly as ``compare_semantic`` and the oracle's CASE expression
+    do; rounding is display-only."""
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 4 == 0)
     b = F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(F.col("p_type"))
-    return p.select(
+    inner = p.select(
+        "p_partkey", ev.semantic_score(F.col("p_name"), b).alias("_s")
+    )
+    return inner.select(
         "p_partkey",
-        F.round(ev.semantic_score(F.col("p_name"), b), 6).alias("score"),
-        ev.compare_semantic(F.col("p_name"), b, 0.5).alias("is_match"),
+        F.round(F.col("_s"), 6).alias("score"),
+        (F.col("_s") >= F.lit(0.5)).alias("is_match"),
     )
 
 
