@@ -101,3 +101,24 @@ def test_zero_shuffle_extraction_has_no_exchange(spark):
     )
     plan = _plan(extract_turns(t, salt=0))
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_cosine_eval_single_embedding_evaluation(spark):
+    """``semantic_cosine_eval`` must evaluate the hashed-ngram embedding
+    tree ONCE per row.  Higher-order-function lambdas are excluded from
+    both Catalyst CSE and whole-stage-codegen subexpression elimination,
+    so the score+is_match pair written as two independent expressions
+    doubles the dominant per-row cost (measured 93 s vs 45 s at the sf1
+    fixture).  The fix relies on CollapseProject DECLINING to re-inline
+    a non-cheap alias referenced twice — pin that: the optimized plan
+    must keep the inner projection, carrying 6 md5 occurrences (one
+    evaluation of the two-sided score tree) rather than the 12 of the
+    duplicated form."""
+    from accelerated_intelligent_document_processing_on_aws_spark.plans import QUERIES
+
+    df = QUERIES["semantic_cosine_eval"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 6, (
+        f"embedding tree duplicated: md5 appears {optimized.count('md5')}x "
+        "in the optimized plan (expected 6 — one evaluation per side)"
+    )
