@@ -223,6 +223,28 @@ def _nearest_centroid(vec_col, cents: list[list[float]]):
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def assign_ivf_lists(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF inverted index: (vec_id, v, list_id) with each
+    vector assigned to its nearest centroid.  This is the INDEX-BUILD
+    half of IVF — at production scale it runs once per corpus version
+    and persists as a table partitioned/bucketed by ``list_id``, so
+    query serving only pays the probe-side cost.  ``ivf_topk`` accepts
+    this pre-assigned frame directly (it detects the ``list_id``
+    column), which is how the amortized serving path should be driven;
+    passing the raw corpus instead re-assigns inline every call —
+    correct, but at C centroids that costs O(C·dim) per vector per
+    call, which can exceed the brute scan itself when the query batch
+    is small (measured in BENCH/ANN_CURVES.md's crossover table)."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("list_id", _nearest_centroid(F.col("v"), centroids))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,10 +258,21 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: corpus assigned to nearest centroid list (one narrow
     column, persistable as table partition); each query probes its
-    ``nprobe`` nearest lists; exact rerank inside the probed lists."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).withColumn(
-        "list_id", _nearest_centroid(F.col("v"), centroids)
-    )
+    ``nprobe`` nearest lists; exact rerank inside the probed lists.
+
+    If ``corpus`` already carries a ``list_id`` column (the output of
+    :func:`assign_ivf_lists`, possibly read back from a persisted
+    index table), the assignment is reused instead of recomputed."""
+    if "list_id" in corpus.columns:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col if vec_col in corpus.columns else "v").alias("v"),
+            "list_id",
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+        ).withColumn("list_id", _nearest_centroid(F.col("v"), centroids))
     # per-query probe lists computed DISTRIBUTED: distances to the
     # (literal, O(C·dim)) centroids as an array expression, then the
     # nprobe smallest via explode + window rank — no driver collect, so

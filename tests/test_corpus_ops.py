@@ -163,6 +163,22 @@ class TestSimilarity:
         ) >= 0.8
         emb.unpersist()
 
+    def test_ivf_prebuilt_index_equals_inline(self, emb):
+        """assign_ivf_lists + ivf_topk (the amortized serving shape: the
+        index persisted once, queries pay only probe cost) must return
+        exactly the inline-assignment result — same lists, same rerank,
+        same rows."""
+        q = emb.limit(5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cents = similarity.train_centroids(emb, n_centroids=8, sample_fraction=1.0)
+        inline = similarity.ivf_topk(emb, q, cents, k=5, nprobe=3)
+        index = similarity.assign_ivf_lists(emb, cents)
+        prebuilt = similarity.ivf_topk(index, q, cents, k=5, nprobe=3)
+        a = {tuple(r) for r in inline.collect()}
+        b = {tuple(r) for r in prebuilt.collect()}
+        assert a == b and a
+
     def test_ivf_recall_and_shape(self, emb):
         q = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
