@@ -12,6 +12,8 @@ Two properties every registered plan must hold for the 100 TB design
 """
 
 import io
+import re
+from collections import Counter
 from contextlib import redirect_stdout
 
 import pytest
@@ -28,11 +30,34 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _repeated_hof_subtrees(optimized: str) -> dict[str, int]:
+    """Substantial higher-order-function subtrees appearing 2+ times in
+    an optimized plan.  HOF lambdas are outside Catalyst CSE and
+    whole-stage-codegen subexpression elimination, so a repeated
+    subtree is evaluated once PER occurrence per row — the
+    semantic_cosine_eval bug class (93 s → 45 s at sf1 when fixed).
+    Evaluate the tree once in an inner projection instead."""
+    norm = re.sub(r"#\d+L?", "#", optimized)
+    hofs = re.findall(
+        r"(?:transform|filter|aggregate|zip_with)\(lambdafunction\([^\n]{80,400}",
+        norm,
+    )
+    counts = Counter(h[:200] for h in hofs)
+    return {k: v for k, v in counts.items() if v >= 2}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_row_python_and_no_cartesian(spark, name):
-    plan = _plan(QUERIES[name](spark, SF))
+    df = QUERIES[name](spark, SF)
+    plan = _plan(df)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross product"
+    dups = _repeated_hof_subtrees(df._jdf.queryExecution().optimizedPlan().toString())
+    assert not dups, (
+        f"{name}: repeated HOF subtree evaluated once per occurrence "
+        f"(CSE cannot merge lambdas) — single-evaluate via an inner "
+        f"projection: {list(dups.items())[:2]}"
+    )
 
 
 # Positive plan-shape assertions: the strategy each flagship plan MUST
