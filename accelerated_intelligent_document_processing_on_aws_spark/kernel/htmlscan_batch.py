@@ -489,22 +489,27 @@ def strip_boilerplate_batch(texts: list) -> list:
     n = len(texts)
     if n == 0:
         return []
-    arr = pa.array([t if t is not None else "" for t in texts], type=pa.string())
-    buf_off, buf_dat = arr.buffers()[1], arr.buffers()[2]
-    offs = np.frombuffer(buf_off, dtype=np.int32)
-    starts = offs[:-1].astype(np.int64)
-    ends = offs[1:].astype(np.int64)
-    buf = (
-        np.frombuffer(buf_dat, dtype=np.uint8)[: int(ends[-1])]
-        if buf_dat is not None
-        else np.empty(0, np.uint8)
-    )
     try:
+        # inside the guarded region: a batch whose concatenated text
+        # exceeds the int32 offset capacity of pa.string() (~2 GB)
+        # raises ArrowCapacityError and must fall back, not propagate —
+        # the contract is "always byte-equal, falls back on failure"
+        arr = pa.array([t if t is not None else "" for t in texts], type=pa.string())
+        buf_off, buf_dat = arr.buffers()[1], arr.buffers()[2]
+        offs = np.frombuffer(buf_off, dtype=np.int32)
+        starts = offs[:-1].astype(np.int64)
+        ends = offs[1:].astype(np.int64)
+        buf = (
+            np.frombuffer(buf_dat, dtype=np.uint8)[: int(ends[-1])]
+            if buf_dat is not None
+            else np.empty(0, np.uint8)
+        )
         cand_pos, cands, gt_list, raw_close, fallback = _tokenize_batch(
             buf, starts, ends
         )
     except Exception:
-        # batch-wide discovery failed: the scalar kernel is always safe
+        # batch-wide buffer build or discovery failed: the scalar
+        # kernel is always safe
         return [hx.strip_boilerplate(t or "") for t in texts]
     big = buf.tobytes()
     raw_script = raw_close["script"]

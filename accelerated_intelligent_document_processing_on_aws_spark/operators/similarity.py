@@ -239,10 +239,22 @@ def assign_ivf_lists(
     passing the raw corpus instead re-assigns inline every call —
     correct, but at C centroids that costs O(C·dim) per vector per
     call, which can exceed the brute scan itself when the query batch
-    is small (measured in BENCH/ANN_CURVES.md's crossover table)."""
-    return corpus.select(
+    is small (measured in BENCH/ANN_CURVES.md's crossover table).
+
+    The ``list_id`` column carries ``ivf_n_lists`` field metadata (the
+    centroid count the index was built against); ``ivf_topk(...,
+    prebuilt=True)`` validates it so a stale index built from a
+    different centroid model — or an unrelated column that merely
+    happens to be named ``list_id`` — is rejected instead of silently
+    degrading recall.  Spark persists field metadata through parquet
+    round-trips, so a persisted index table keeps the stamp."""
+    assigned = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     ).withColumn("list_id", _nearest_centroid(F.col("v"), centroids))
+    return assigned.withColumn(
+        "list_id",
+        F.col("list_id").alias("list_id", metadata={"ivf_n_lists": len(centroids)}),
+    )
 
 
 def ivf_topk(
@@ -255,15 +267,37 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    prebuilt: bool = False,
 ) -> DataFrame:
     """IVF search: corpus assigned to nearest centroid list (one narrow
     column, persistable as table partition); each query probes its
     ``nprobe`` nearest lists; exact rerank inside the probed lists.
 
-    If ``corpus`` already carries a ``list_id`` column (the output of
-    :func:`assign_ivf_lists`, possibly read back from a persisted
-    index table), the assignment is reused instead of recomputed."""
-    if "list_id" in corpus.columns:
+    Pass ``prebuilt=True`` when ``corpus`` is the output of
+    :func:`assign_ivf_lists` (possibly read back from a persisted index
+    table): the stored assignment is reused instead of recomputed.  The
+    reuse is explicitly opted into AND validated — the ``list_id``
+    column must carry the ``ivf_n_lists`` metadata stamp written by
+    :func:`assign_ivf_lists` and it must equal ``len(centroids)``,
+    otherwise probe selection (computed from the passed centroids) and
+    list assignment (read from the frame) could disagree and silently
+    return wrong neighbors.  Without ``prebuilt``, any ``list_id``
+    column on the input is ignored and assignment is recomputed."""
+    if prebuilt:
+        if "list_id" not in corpus.columns:
+            raise ValueError(
+                "prebuilt=True requires a list_id column "
+                "(the output of assign_ivf_lists)"
+            )
+        meta = corpus.schema["list_id"].metadata or {}
+        n_lists = meta.get("ivf_n_lists")
+        if n_lists != len(centroids):
+            raise ValueError(
+                f"prebuilt index was built against {n_lists} lists "
+                f"(ivf_n_lists metadata) but {len(centroids)} centroids "
+                "were passed — rebuild the index with assign_ivf_lists "
+                "using these centroids"
+            )
         c = corpus.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col if vec_col in corpus.columns else "v").alias("v"),

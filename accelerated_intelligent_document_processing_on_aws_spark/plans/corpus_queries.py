@@ -408,19 +408,23 @@ def quality_scores(spark, sf_dir):
 @q(
     "dedup_keep_representative_docs",
     f"""
-    WITH RECURSIVE t AS (
+    WITH RECURSIVE tk AS (
       SELECT doc_id, source,
-             list_distinct(list_transform(
-               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
-               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
-                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
-             )) AS sh
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS toks
       FROM documents WHERE doc_id % 4 = 0
+    ), t AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) < 2 THEN [coalesce(array_to_string(toks, ' '), '')]
+                  ELSE list_distinct(list_transform(
+                         generate_series(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1])) END AS sh
+      FROM tk
     ), p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
     ), und AS (
       SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p
     ), closure(a, b) AS (

@@ -99,7 +99,9 @@ def main() -> None:
     rows = []
     for shape, corp in (("inline", emb), ("prebuilt", index)):
         for nprobe in (2, 4):
-            ivf = sim.ivf_topk(corp, q, cents, k=K, nprobe=nprobe)
+            ivf = sim.ivf_topk(
+                corp, q, cents, k=K, nprobe=nprobe, prebuilt=(shape == "prebuilt")
+            )
             _, t_ivf = timed(ivf)
             rec = sim.recall_at_k(ivf, exact, K)
             rows.append(

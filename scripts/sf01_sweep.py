@@ -77,11 +77,15 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    con = _fresh_con()
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     if len(sys.argv) > 2:
         only = {n.strip() for n in sys.argv[2].split(",") if n.strip()}
@@ -98,14 +102,37 @@ def main() -> None:
             t0 = time.time()
             got = queries[name](spark, sf_dir).toPandas()
             t_spark = time.time() - t0
-            hit = threading.Timer(oracle_timeout, con.interrupt)
+            # the timer callback re-checks `done` under a lock before
+            # interrupting: a timer that fires between fetchdf()
+            # returning and cancel() would otherwise poison the shared
+            # connection and abort the NEXT query under this one's name
+            done_lock = threading.Lock()
+            state = {"done": False, "fired": False}
+
+            def _interrupt():
+                with done_lock:
+                    if state["done"]:
+                        return
+                    state["fired"] = True
+                con.interrupt()
+
+            hit = threading.Timer(oracle_timeout, _interrupt)
             hit.start()
             t0 = time.time()
             try:
                 want = con.execute(oracles[name]).fetchdf()
             finally:
+                with done_lock:
+                    state["done"] = True
                 hit.cancel()
                 t_oracle = time.time() - t0
+                if state["fired"]:
+                    # timer won the race against cancel(): a (possibly
+                    # pending) interrupt targets this connection — drop
+                    # it so the next query can't be poisoned
+                    hit.join()
+                    con.close()
+                    con = _fresh_con()
             gc, gr = _canon(got)
             wc, wr = _canon(want)
             if gc != wc:

@@ -174,10 +174,39 @@ class TestSimilarity:
         cents = similarity.train_centroids(emb, n_centroids=8, sample_fraction=1.0)
         inline = similarity.ivf_topk(emb, q, cents, k=5, nprobe=3)
         index = similarity.assign_ivf_lists(emb, cents)
-        prebuilt = similarity.ivf_topk(index, q, cents, k=5, nprobe=3)
+        prebuilt = similarity.ivf_topk(index, q, cents, k=5, nprobe=3, prebuilt=True)
         a = {tuple(r) for r in inline.collect()}
         b = {tuple(r) for r in prebuilt.collect()}
         assert a == b and a
+
+    def test_ivf_prebuilt_index_validated(self, emb):
+        """prebuilt reuse is explicit and stamped: an unrelated list_id
+        column (no ivf_n_lists metadata) and a stale index built from a
+        different centroid model are both rejected; without prebuilt=True
+        a stray list_id column is ignored, not silently trusted."""
+        import pytest
+
+        q = emb.limit(3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        cents8 = similarity.train_centroids(emb, n_centroids=8, sample_fraction=1.0)
+        cents4 = similarity.train_centroids(emb, n_centroids=4, sample_fraction=1.0)
+        # unrelated list_id column: rejected under prebuilt, ignored without
+        stray = emb.withColumn("list_id", F.col("vec_id") % 3)
+        with pytest.raises(ValueError, match="ivf_n_lists"):
+            similarity.ivf_topk(stray, q, cents8, k=5, nprobe=3, prebuilt=True)
+        inline = similarity.ivf_topk(emb, q, cents8, k=5, nprobe=3)
+        ignored = similarity.ivf_topk(stray, q, cents8, k=5, nprobe=3)
+        assert {tuple(r) for r in inline.collect()} == {
+            tuple(r) for r in ignored.collect()
+        }
+        # stale index: built on 4 centroids, served with 8 → rejected
+        stale = similarity.assign_ivf_lists(emb, cents4)
+        with pytest.raises(ValueError, match="rebuild the index"):
+            similarity.ivf_topk(stale, q, cents8, k=5, nprobe=3, prebuilt=True)
+        # missing list_id under prebuilt → rejected
+        with pytest.raises(ValueError, match="requires a list_id"):
+            similarity.ivf_topk(emb, q, cents8, k=5, nprobe=3, prebuilt=True)
 
     def test_ivf_recall_and_shape(self, emb):
         q = emb.limit(5).select(
