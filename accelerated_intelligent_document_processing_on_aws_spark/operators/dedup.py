@@ -450,15 +450,30 @@ def minhash_lsh_pairs(
         # costs one codegen predicate (run exact dedup first regardless)
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()
+        # the pair set is referenced three times below (verify join +
+        # twice through cand_ids); it is tiny (collision candidates
+        # only), so truncate lineage here and bound the signature
+        # pipeline to one evaluation
+        .localCheckpoint(eager=False)
     )
-    # exact-Jaccard verify over CANDIDATE ids only: semi-join narrows the
-    # corpus before the (expensive) shingle materialization
+    # exact-Jaccard verify over CANDIDATE ids only.  Both the broadcast
+    # and the checkpoint below are load-bearing at scale (r7 drill,
+    # 2.6M turns): without them the LeftSemi sort-merge-joins and
+    # re-evaluates the shingle subtree per verify side — the full text
+    # column crossed the wire TWICE (2×2.8 GB of the leg's 7 GB
+    # shuffle) and the leg measured 1004-1117 s.  Broadcasting the
+    # (small, candidates-only) id set turns the semi-join into a
+    # broadcast hash join — the corpus text never shuffles — and the
+    # lazy localCheckpoint evaluates the candidate shingle sets ONCE
+    # (their storage is O(candidates × shingle bytes), bounded by the
+    # LSH collision count, not the corpus).
     cand_ids = (
         cand.select(F.explode(F.array("id_a", "id_b")).alias("id")).distinct()
     )
     sh = (
-        base.join(cand_ids, "id", "left_semi")
+        base.join(F.broadcast(cand_ids), "id", "left_semi")
         .select("id", shingles(tokens("txt"), shingle_n).alias("sh"))
+        .localCheckpoint(eager=False)
     )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -1044,6 +1044,243 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+# -- TPC-H Q8 shape: national market share (two role-joins of nation) --------
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_8' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey  = l.l_partkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) — faithful: the synthetic schema
+    has every table Q8 touches (reference analytics surface:
+    agents/analytics/agent.py Athena SQL).  The two ROLE-joins of
+    ``nation`` (customer's nation → region filter; supplier's nation →
+    share numerator) are distinct broadcast aliases; all five dims
+    broadcast so lineitem→orders is the only shuffle-sized join, and
+    the share is one hash aggregate over year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+        )
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_8", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# -- TPC-H Q9 shape: profit by supplier nation and year ----------------------
+@q(
+    "q9_nation_profit",
+    """
+    SELECT nation, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+               - 0.2 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4))
+               AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey  = l.l_partkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 SHAPE (product-type profit by nation/year).  The
+    synthetic schema has no ``partsupp`` table, so the supply-cost term
+    ``ps_supplycost * l_quantity`` is stood in by
+    ``0.2 * p_retailprice * l_quantity`` (a per-part cost from the part
+    dim) — the PLAN is Q9's (name-filtered part broadcast into the fact
+    scan, supplier→nation rollup, two-key aggregate); only the cost
+    constant differs.  Per-row amounts are cast to DECIMAL(18,4) before
+    summing: a double sum with subtractive cancellation is
+    order-dependent and landed a fixture group on a half-cent rounding
+    boundary (255551.405 — Spark and DuckDB rounded opposite ways);
+    decimal accumulation is exact and order-independent in both
+    engines, which is also the right answer on a 1000-executor cluster
+    where partial-aggregate order is nondeterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.2 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+# -- TPC-H Q16 shape: supplier count per part attribute ----------------------
+@q(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 SHAPE (supplier count per part attribute).  No
+    ``partsupp`` table in the synthetic schema, so lineitem serves as
+    the part↔supplier bridge (distinct suppliers that actually shipped
+    the part), and the reference's comment-based "complaint supplier"
+    exclusion becomes an acctbal predicate — same anti-join + distinct
+    aggregate plan.  The NOT IN's excluded-supplier set is a broadcast
+    anti-join; brand/type/size predicates push into the part dim before
+    it broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+    )
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# -- TPC-H Q20 shape: suppliers with dominant shipped share ------------------
+@q(
+    "q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'large%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ), ptot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM sp GROUP BY l_partkey
+    )
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_acctbal > 1000
+      AND s.s_suppkey IN (
+        SELECT sp.l_suppkey FROM sp
+        JOIN ptot ON ptot.l_partkey = sp.l_partkey
+        WHERE sp.qty > 0.2 * ptot.total_qty
+      )
+    """,
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 SHAPE (suppliers holding excess stock of name-filtered
+    parts).  ``partsupp.ps_availqty`` doesn't exist in the synthetic
+    schema, so the correlated threshold compares each supplier's shipped
+    quantity of a part against 20% of that part's corpus-wide shipped
+    total — preserving Q20's nested-aggregate + semi-join-chain plan
+    (part name filter → per-(supp,part) aggregate → per-part reflux
+    join → supplier semi-join with a pushed supplier predicate)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_name").like("large%"))
+    )
+    sp = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    ptot = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    qualifying = (
+        sp.join(ptot, "l_partkey")
+        .where(F.col("qty") > 0.2 * F.col("total_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 1000)
+    return (
+        s.join(qualifying, "s_suppkey", "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 # -- exact percentiles / median (score-distribution reporting) ---------------
 @q(
     "percentile_scores",

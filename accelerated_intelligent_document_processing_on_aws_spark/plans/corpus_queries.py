@@ -481,7 +481,11 @@ def dedup_keep_representative_docs(spark, sf_dir):
     recomputes the same result with a recursive transitive closure and
     a window rank — feasible because fixture components are small,
     while the Spark path (iterative min-label propagation + clusters-
-    only quality scoring) is the one that scales."""
+    only quality scoring) is the one that scales.  The oracle mirrors
+    the Spark shingle kernel's short-doc fallback (whole-text singleton
+    below n tokens, [''] for token-less docs — r6 ADVICE) and rounds
+    Jaccard to 6dp before thresholding, pinned by
+    tests/test_keep_representative_shortdocs.py."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     pairs = dedup.ngram_jaccard_pairs(d, "source", n=2, threshold=0.5)
     kept = dedup.dedup_keep_representative(d, pairs, id_col="doc_id")

@@ -151,6 +151,29 @@ def ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, qs, cents, k=5, nprobe=6)
 
 
+@q("ann_ivf_prebuilt_topk")
+def ann_ivf_prebuilt_topk(spark, sf_dir):
+    """The AMORTIZED IVF serving shape — the one the 10^12-vector story
+    depends on: ``assign_ivf_lists`` builds the inverted index once (in
+    production it persists as a ``list_id``-partitioned table, stamped
+    with ``ivf_n_lists`` metadata), then ``ivf_topk(prebuilt=True)``
+    validates the stamp and pays only the probe-side cost per query
+    batch.  Measured 9.4× over the exact scan at 200k vectors / 128
+    queries (BENCH/ANN_CURVES.md crossover table).  Same centroids and
+    knobs as ``ann_ivf_topk`` so the two registry entries are
+    row-identical — pinned by
+    tests/test_corpus_ops.py::test_registry_ivf_prebuilt_equals_inline.
+    Rows-only like its ANN siblings: centroid training is
+    data-derived."""
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = similarity.train_centroids(e, n_centroids=8, sample_fraction=1.0)
+    index = similarity.assign_ivf_lists(e, cents)
+    return similarity.ivf_topk(index, qs, cents, k=5, nprobe=6, prebuilt=True)
+
+
 @q("ann_pq_rerank_topk")
 def ann_pq_rerank_topk(spark, sf_dir):
     """PQ shortlist + exact rerank (rows-only: codebook training is

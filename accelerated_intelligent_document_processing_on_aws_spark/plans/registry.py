@@ -16,70 +16,78 @@ from __future__ import annotations
 
 from . import analytics, corpus_queries, parity_queries, pipeline_queries
 
-# Round-6 FRONT (r5 verdict item 2 — evidence-age rotation).  50 slots:
-#   [0]      the new round-6 oracle-paired query (keep-representative
-#            finally gets a driver-level correctness row — verdict
-#            item 3);
-#   [1..49]  the 49 oracle-paired queries whose latest driver evidence
-#            is r3 (oldest-first per the verdict's list) — after r6 no
-#            oracle-paired query's evidence is older than r4.
-FRONT_R6_NEW = [
-    "dedup_keep_representative_docs",
+# Round-7 FRONT (r6 verdict item 2 — evidence-age rotation).  50 slots:
+#   [0]      the new round-7 rows-only query: the PREBUILT-index IVF
+#            serving shape (r6 verdict item 3 — the driver now
+#            exercises the amortized shape the 10^12-vector story
+#            depends on, not only the inline one);
+#   [1..42]  the 42 oracle-paired queries whose latest driver evidence
+#            is r4 (oldest cohort, oldest-first) — after r7 no
+#            oracle-paired query's evidence is older than r5;
+#   [43..49] the remaining new oracle-paired queries and 3 of the 12
+#            rows-only entries, prioritizing the dedup/ANN operators
+#            (the other 9 rows-only checks stay pytest-gated e2e and
+#            rotate in next round).
+FRONT_R7_NEW = [
+    "ann_ivf_prebuilt_topk",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q16_supplier_cnt",
+    "q20_excess_suppliers",
 ]
 
-FRONT_STALE_R3 = [
-    "paginate_lines",
-    "rule_validation_summary",
-    "curation_pipeline_stats",
-    "sections_bio_events",
-    "image_decode_stats",
-    "semantic_cosine_eval",
-    "eval_rollup_docs",
-    "split_eval_metrics",
-    "page_classification_accuracy_events",
-    "payload_kind_sniff",
-    "asof_join_events_chunked",
-    "audio_decode_stats",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "zorder_keys",
-    "percentile_scores",
-    "session_window_agg",
-    "variant_props_rollup",
-    "gopher_quality_flags",
-    "repetition_stats_docs",
-    "pii_scrub_docs",
-    "blocklist_fraction_docs",
-    "decontaminate_train_docs",
-    "tfidf_top_terms",
-    "section_text_events",
-    "single_class_sections_events",
-    "name_regex_fastpath",
-    "limited_vote_propagate",
-    "sections_page_events",
-    "asof_join_events",
-    "range_join_windows",
-    "alerts_per_class_threshold",
-    "stickler_config_eval",
-    "judge_rule_cascade",
-    "hungarian_list_compare",
-    "hash_split_conversations",
-    "stratified_hash_sample",
-    "pack_token_windows",
-    "near_dup_clusters",
-    "training_data_pipeline",
-    "multimodal_features",
-    "excel_sheet_pages",
-    "word_elements_docs",
-    "string_to_list_coercion",
-    "empty_schema_skip",
-    "flatten_dot_notation",
-    "discover_class_attributes",
-    "json_repair_ragged",
-    "json_yaml_detect",
+FRONT_STALE_R4 = [
+    "compare_exact_normalized",
+    "compare_numeric_currency",
+    "fuzzy_levenshtein_pairs",
+    "evaluation_prf_metrics",
+    "embedding_cosine_pairs",
+    "dedup_exact_groups",
+    "ngram_jaccard_block_pairs",
+    "fingerprint_md5_docs",
+    "kgram_min_fingerprint_docs",
+    "token_counts",
+    "lang_id_pred",
+    "quality_scores",
+    "ann_bruteforce_topk",
+    "json_extract_field",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q17_small_quantity",
+    "hll_sketch_merge_shards",
+    "pq_encode_literal",
+    "array_functions_battery",
+    "except_intersect_shards",
+    "salted_join_hot_key",
+    "rolling_range_window",
+    "upsert_latest_events",
+    "duplicate_ngram_spans",
+    "length_histogram",
+    "approx_percentile_bounds",
+    "paragraph_dedup_docs",
+    "q4_priority_late_exists",
+    "q6_forecast_revenue",
+    "q12_returnflag_case_buckets",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "approx_distinct_hll",
+    "grouping_sets_metrics",
+    "layout_tables_cells",
+    "layout_forms_kv",
+    "layout_table_markdown",
+    "text_confidence_table",
 ]
 
-FRONT = FRONT_R6_NEW + FRONT_STALE_R3
+FRONT_ROWS_ONLY_R7 = [
+    "minhash_lsh_near_dup",
+    "simhash_near_dup",
+    "ann_lsh_topk",
+]
+
+FRONT = FRONT_R7_NEW + FRONT_STALE_R4 + FRONT_ROWS_ONLY_R7
 
 _ALL: dict = {}
 _ORACLE_SQL: dict = {}

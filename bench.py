@@ -69,6 +69,83 @@ HEADLINE = [
 ]
 
 
+CHAIN_CONVS = int(os.environ.get("SPARK_GRAFT_CHAIN_CONVS", "11500"))
+
+
+def _curation_chain(spark) -> dict:
+    """Standing bench surface for the 4-stage dedup curation chain
+    (round-6 verdict item 6): LSH pairs → connected-component clusters
+    → keep-representative → split-leakage gate on a fixed ~500k-turn
+    Zipf corpus, each stage materialized so its wall time is its own.
+    Catches dedup-chain regressions per-round the way query timings do;
+    the full 2.6M-turn drill (scripts/dedup_drill.py) stays the deep
+    probe."""
+    import shutil
+
+    from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
+        write_transcripts_parquet,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    corpus = os.path.join(CACHE_DIR, f"chain_transcripts_{CHAIN_CONVS}.parquet")
+    if not os.path.exists(corpus):
+        write_transcripts_parquet(corpus, n_convs=CHAIN_CONVS, seed=42)
+    docs = spark.read.parquet(corpus).select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
+    )
+    n_docs = docs.count()
+    workdir = os.path.join(CACHE_DIR, "chain_work")
+    shutil.rmtree(workdir, ignore_errors=True)
+    pairs_path = os.path.join(workdir, "pairs.parquet")
+
+    out: dict = {"turns": n_docs}
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    out["pairs"] = pairs.count()
+    out["lsh_pairs_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    clusters = dedup.duplicate_clusters(pairs)
+    out["clusters"] = clusters.select("cluster_id").distinct().count()
+    out["clusters_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["kept_docs"] = dedup.dedup_keep_representative(docs, pairs).count()
+    out["keep_representative_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    split = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 10
+    leaky = (
+        docs.select(
+            F.md5(F.col("text")).alias("content_hash"),
+            F.when(split < 8, "train").when(split < 9, "valid").otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("content_hash")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    out["leaky_groups"] = leaky
+    out["leakage_gate_sec"] = round(time.perf_counter() - t0, 2)
+    out["chain_sec"] = round(
+        out["lsh_pairs_sec"]
+        + out["clusters_sec"]
+        + out["keep_representative_sec"]
+        + out["leakage_gate_sec"],
+        2,
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 def _bench_corpus_path() -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"transcripts_{BENCH_CONVS}.parquet")
@@ -181,6 +258,10 @@ def main() -> None:
     # scans are byte-balanced; a planner would pick it for balanced
     # layouts).  Both are min-of-3 on the same corpus, so the choice is
     # measured, not asserted.
+    # -- curation-chain surface (standing, single pass: a trend line,
+    # not a steady-state claim — the deep probe is the 2.6M-turn drill)
+    chain = _curation_chain(spark)
+
     best_sec = min(extract_sec, noshuffle_sec, skew_sec)
     path = {extract_sec: "salted", noshuffle_sec: "noshuffle", skew_sec: "skew_aware"}[
         best_sec
@@ -202,6 +283,7 @@ def main() -> None:
                 "turns_per_sec_noshuffle": round(n_turns / noshuffle_sec, 1),
                 "extract_sec_skew_aware": round(skew_sec, 3),
                 "turns_per_sec_skew_aware": round(n_turns / skew_sec, 1),
+                "curation_chain": chain,
                 "cpus": CPUS,
             }
         )

@@ -55,7 +55,22 @@ def main() -> None:
         help="reuse an existing pairs.parquet from a prior run "
         "(stage-1 wall/shuffle numbers then come from that run's log)",
     )
+    ap.add_argument(
+        "--carry-shingles",
+        choices=("true", "false"),
+        default="true",
+        help="stage-1 verify strategy: true = shingle hash sets ride "
+        "the banded shuffle (one scan, zero joins, fat shuffle); "
+        "false = ship only band hashes, second text scan + two joins "
+        "(lean shuffle) — the network-bound-regime alternative",
+    )
+    ap.add_argument(
+        "--stage1-only",
+        action="store_true",
+        help="measure only the LSH pairs stage (strategy A/B runs)",
+    )
     args = ap.parse_args()
+    carry = args.carry_shingles == "true"
 
     from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
         write_transcripts_parquet,
@@ -134,14 +149,27 @@ def main() -> None:
     pairs_path = os.path.join(args.workdir, "pairs.parquet")
 
     def s1():
-        p = dedup.minhash_lsh_pairs(docs)
+        p = dedup.minhash_lsh_pairs(docs, carry_shingles=carry)
         p.write.mode("overwrite").parquet(pairs_path)
         return {"pairs": spark.read.parquet(pairs_path).count()}
 
+    stage1_name = f"minhash_lsh_pairs[carry={str(carry).lower()}]"
     if args.resume and os.path.exists(pairs_path):
         print("resume: reusing pairs.parquet", file=sys.stderr)
     else:
-        run_stage("minhash_lsh_pairs", s1)
+        run_stage(stage1_name, s1)
+    if args.stage1_only:
+        print("\n| stage | wall s | shuffle write MB | shuffle read MB | "
+              "peak stage write MB |")
+        print("|---|---|---|---|---|")
+        for r in report:
+            print(
+                f"| {r['stage']} | {r['wall_sec']} | {r['shuffle_write_mb']} | "
+                f"{r['shuffle_read_mb']} | {r['peak_stage_write_mb']} |"
+            )
+        print()
+        print(json.dumps({"n_docs": n_docs, "cpus": args.cpus, "stages": report}))
+        return
     pairs = spark.read.parquet(pairs_path)
 
     def s2():

@@ -197,6 +197,36 @@ def main() -> None:
                                 jaccard_threshold=0.5),
     )
 
+    add(
+        "MinHash LSH near-dup, lean-shuffle leg (carry_shingles=False, "
+        "round 7)",
+        "Strategy crossover, MEASURED at 2.6M turns / local[8] (r7 "
+        "drill): carry=True 82-119 s / 12.7 GB shuffle (~4.9 KB/doc "
+        "carried shingle hashes, pairs verified inline in the bucket "
+        "aggregate — unverified pairs never materialize); carry=False "
+        "546-678 s / 7.4 GB = banded hashes (~0.8 GB) + the inherent "
+        "candidate-pair distinct exchange (5.5 GB) + verify joins.  "
+        "The r7 plan repair is load-bearing: cand/sh were multiply "
+        "referenced with no materialization (scan + Python-UDF "
+        "pipeline re-evaluated per reference) and the STATIC plan "
+        "sort-merge-joined the full text column for the candidate-id "
+        "semi-join — runtime AQE happened to rescue the exchange, but "
+        "an AQE-off or conservative-threshold cluster would have "
+        "executed it; unrepaired the leg measured 1004-1117 s.  Now: "
+        "EXPLICIT broadcast semi-join + lazy localCheckpoint on cand "
+        "and sh (single evaluation; storage bounded by LSH collision "
+        "count).  RULE: default carry=True — on CPU-bound or "
+        "local-disk-shuffle clusters it wins 4.6-8x.  Switch to "
+        "carry=False only when (a) the corpus is UNTRUSTED (its "
+        "string verify is immune to crafted hash collisions — "
+        "tests/test_adversarial_dedup.py) or (b) shuffle is the "
+        "network-bound bottleneck AND per-doc shingle sets are large "
+        "(the 12.7 vs 7.4 GB exchange-volume gap is the prize; at the "
+        "~5 KB/doc measured here it is not worth the 5x wall cost).",
+        dedup.minhash_lsh_pairs(docs, shingle_n=2, num_hashes=16, bands=4,
+                                jaccard_threshold=0.5, carry_shingles=False),
+    )
+
     from accelerated_intelligent_document_processing_on_aws_spark.operators.temporal import (
         asof_join,
     )

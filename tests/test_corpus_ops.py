@@ -208,6 +208,21 @@ class TestSimilarity:
         with pytest.raises(ValueError, match="requires a list_id"):
             similarity.ivf_topk(emb, q, cents8, k=5, nprobe=3, prebuilt=True)
 
+    def test_registry_ivf_prebuilt_equals_inline(self, spark):
+        """The REGISTRY prebuilt-IVF serving query (the driver-visible
+        amortized shape) must be row-identical to the registry inline
+        query — same centroids, same knobs, index built via
+        assign_ivf_lists and served through the validated
+        prebuilt=True path."""
+        from accelerated_intelligent_document_processing_on_aws_spark.plans import registry
+
+        sf = "/root/testdata/sf0.001"
+        inline = registry.QUERIES["ann_ivf_topk"](spark, sf)
+        prebuilt = registry.QUERIES["ann_ivf_prebuilt_topk"](spark, sf)
+        a = {tuple(r) for r in inline.collect()}
+        b = {tuple(r) for r in prebuilt.collect()}
+        assert a == b and a
+
     def test_ivf_recall_and_shape(self, emb):
         q = emb.limit(5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -98,21 +98,29 @@ def test_entry_smoke(spark):
 
 def test_registry_front_invariant():
     """The correctness driver verifies only the FIRST 50 registry
-    entries.  Round-6 shape (r5 verdict item 2): FRONT = the new
-    round-6 oracle-paired query, then the 49 oracle-paired queries
-    whose latest driver evidence is r3 (oldest-first) — after r6 no
-    oracle-paired query's evidence is older than r4.  FRONT must fill
-    the 50 driver slots exactly and be all oracle-paired."""
+    entries.  Round-7 shape (r6 verdict items 2+3): FRONT = the 5 new
+    entries (the rows-only prebuilt-IVF serving shape + 4 new
+    oracle-paired TPC-H queries), then the 42 oracle-paired queries
+    whose latest driver evidence is r4 (oldest-first), then 3 rows-only
+    dedup/ANN re-presents — after r7 no oracle-paired query's evidence
+    is older than r5.  FRONT must fill the 50 driver slots exactly;
+    rows-only entries are allowed ONLY from the explicit re-present
+    lists (their real gates are pytest)."""
     from accelerated_intelligent_document_processing_on_aws_spark.plans import registry
 
     names = list(registry.QUERIES)
     assert names[: len(registry.FRONT)] == registry.FRONT
     assert len(registry.FRONT) == 50, "FRONT must fill the 50 driver slots"
-    assert all(n in registry.ORACLES for n in registry.FRONT), [
-        n for n in registry.FRONT if n not in registry.ORACLES
+    rows_only_allowed = {"ann_ivf_prebuilt_topk"} | set(registry.FRONT_ROWS_ONLY_R7)
+    unexpected = [
+        n
+        for n in registry.FRONT
+        if n not in registry.ORACLES and n not in rows_only_allowed
     ]
-    assert len(registry.FRONT_STALE_R3) == 49
-    assert registry.FRONT[0] == "dedup_keep_representative_docs"
+    assert not unexpected, unexpected
+    assert len(registry.FRONT_STALE_R4) == 42
+    assert all(n in registry.ORACLES for n in registry.FRONT_STALE_R4)
+    assert registry.FRONT[0] == "ann_ivf_prebuilt_topk"
     # outside FRONT, oracle-paired entries still precede rows-only ones
     rest = names[len(registry.FRONT) :]
     kinds = [n in registry.ORACLES for n in rest]
