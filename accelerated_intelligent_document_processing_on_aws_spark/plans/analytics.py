@@ -564,7 +564,8 @@ def star_join_regional_sales(spark, sf_dir):
     "supplier_lineitem_rollup",
     """
     SELECT s.s_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
              AS n_returned
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -572,15 +573,28 @@ def star_join_regional_sales(spark, sf_dir):
     """,
 )
 def supplier_lineitem_rollup(spark, sf_dir):
+    """Revenue accumulates as DECIMAL(18,4): at sf1 the per-supplier
+    double sum (~10^6 rows, ~3×10^8 magnitude) diverged between engines
+    in the 9th significant digit from accumulation order alone (r7 sf1
+    sweep find); decimal addition is exact and order-independent —
+    also the only correct choice when 1000 executors produce partial
+    aggregates in nondeterministic order."""
     li = _t(spark, sf_dir, "lineitem")
     s = F.broadcast(_t(spark, sf_dir, "supplier"))
     return (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
             .cast("long")
             .alias("n_returned"),
