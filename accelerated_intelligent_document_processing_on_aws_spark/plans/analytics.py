@@ -1295,6 +1295,218 @@ def q20_excess_suppliers(spark, sf_dir):
     )
 
 
+# -- derived partsupp bridge (completes the TPC-H battery: Q2 / Q11) ---------
+#
+# The synthetic star schema carries no ``partsupp`` table, so Q2 and
+# Q11 — the two queries whose SEMANTICS (not just a term) live on that
+# bridge — were previously inexpressible.  Rather than weaken their
+# shapes, the bridge is DERIVED deterministically from the part and
+# supplier dims with the repo's cross-engine md5-bucket idiom
+# (Spark ``conv(substring(md5(x),1,8),16,10)`` ==
+# DuckDB ``CAST('0x'||substr(md5(x),1,8) AS BIGINT)``): each part gets
+# 4 pseudo-random supplier slots (TPC-H's ps-per-part fanout),
+# deduplicated, and per-(part,supplier) supply cost / availqty are
+# integer md5 buckets.  Costs stay in integer CENTS through every
+# comparison and aggregate — the min-cost equality (Q2) and the
+# value-threshold (Q11) are exact integer arithmetic in both engines,
+# so no rounding boundary can flip a row.  The same derivation text is
+# inlined as a CTE in both oracles.
+
+_PS_SQL = """
+    WITH psk AS (
+      SELECT DISTINCT p_partkey AS ps_partkey,
+             CAST('0x'||substr(md5('ps'||CAST(p_partkey AS VARCHAR)||'#'||CAST(j AS VARCHAR)),1,8) AS BIGINT)
+               % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+      FROM part, (SELECT UNNEST([0,1,2,3]) AS j) js
+    ), partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             100 + CAST('0x'||substr(md5('sc'||CAST(ps_partkey AS VARCHAR)||':'||CAST(ps_suppkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS ps_supplycost_cents,
+             1 + CAST('0x'||substr(md5('aq'||CAST(ps_partkey AS VARCHAR)||':'||CAST(ps_suppkey AS VARCHAR)),1,8) AS BIGINT) % 9999 AS ps_availqty
+      FROM psk
+    )
+"""
+
+
+def _md5b(col):
+    """Non-negative 32-bit md5 bucket, identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp bridge: 4 supplier slots per part
+    (md5-bucketed mod supplier count, deduplicated), integer-cents
+    supply cost and integer availqty per (part, supplier).  The
+    supplier count rides in as a broadcast 1-row aggregate (the TF-IDF
+    corpus-size pattern), so the derivation is dim-only work — at
+    10^12-row fact scale this never touches a fact table."""
+
+    def key(tag, a, sep, b):
+        return F.concat(
+            F.lit(tag), a.cast("string"), F.lit(sep), b.cast("string")
+        )
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    scount = (
+        _t(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("s_count"))
+    )
+    psk = (
+        part.crossJoin(F.broadcast(scount))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "s_count",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                _md5b(key("ps", F.col("p_partkey"), "#", F.col("j")))
+                % F.col("s_count")
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return psk.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            F.lit(100)
+            + _md5b(key("sc", F.col("ps_partkey"), ":", F.col("ps_suppkey")))
+            % 100000
+        ).alias("ps_supplycost_cents"),
+        (
+            F.lit(1)
+            + _md5b(key("aq", F.col("ps_partkey"), ":", F.col("ps_suppkey")))
+            % 9999
+        ).alias("ps_availqty"),
+    )
+
+
+# -- TPC-H Q2: minimum-cost supplier per part within a region ----------------
+@q(
+    "q2_min_cost_supplier",
+    _PS_SQL
+    + """
+    , eu AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+             s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), flt AS (
+      SELECT eu.*, p.p_brand,
+             MIN(eu.ps_supplycost_cents) OVER (PARTITION BY eu.ps_partkey) AS min_cost
+      FROM eu JOIN part p ON p.p_partkey = eu.ps_partkey
+      WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+    )
+    SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_brand,
+           CAST(ps_supplycost_cents AS DOUBLE)/100.0 AS supplycost
+    FROM flt WHERE ps_supplycost_cents = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (min-cost supplier per part in a region) over the
+    derived partsupp bridge — the correlated MIN subquery becomes a
+    per-part window min with an exact integer-cents equality filter.
+    All four dims broadcast; the ORDER BY key (acctbal desc, nation,
+    supplier, part) is a total order, so the LIMIT 100 is
+    deterministic.  Reference analog: the analytics agent's
+    min-per-group lookup shapes (agents/analytics/agent.py:90-246)."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_brand")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .where(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            (F.col("ps_supplycost_cents").cast("double") / 100.0).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# -- TPC-H Q11: important stock value per part within a region ---------------
+@q(
+    "q11_important_stock",
+    _PS_SQL
+    + """
+    , eu AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_cents * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), agg AS (
+      SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+      FROM eu GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents FROM agg
+    WHERE value_cents * (SELECT COUNT(*) FROM agg)
+          > 2 * (SELECT SUM(value_cents) FROM agg)
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (parts whose regional stock value exceeds a global
+    threshold) over the derived partsupp bridge.  TPC-H's
+    SF-dependent fraction becomes scale-free: keep parts whose value
+    exceeds 2x the mean — compared as ``value*count > 2*total`` in
+    exact integer arithmetic (no division, no float boundary).  The
+    global (total, count) rides back in as a broadcast 1-row
+    aggregate, preserving Q11's nested-aggregate HAVING shape."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    agg = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+        )
+        .groupBy("ps_partkey")
+        .agg(F.sum("v").alias("value_cents"))
+    )
+    tot = agg.agg(
+        F.sum("value_cents").alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("cnt") > 2 * F.col("total"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
 # -- exact percentiles / median (score-distribution reporting) ---------------
 @q(
     "percentile_scores",
