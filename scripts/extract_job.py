@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--heavy-turns", type=int, default=10_000)
     ap.add_argument("--skip-checkpoint", action="store_true",
                     help="single-shot extraction without bucket waves")
+    ap.add_argument("--versioned", action="store_true",
+                    help="Iceberg-style versioned data layout: every "
+                         "wave/delete commit writes NEW immutable "
+                         "data/v=<sid>/ directories; snapshots stay "
+                         "readable (read_snapshot) until expired")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
@@ -61,7 +66,9 @@ def main() -> None:
         lineage,
     )
     from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+        read_snapshot,
         run_checkpointed_extraction,
+        run_versioned_extraction,
     )
 
     if args.input_format == "jsonl":
@@ -102,6 +109,16 @@ def main() -> None:
         back = spark.read.parquet(args.output + "/extracted")
         n_out = back.count()
         lineage(back).write.mode("overwrite").parquet(args.output + "/lineage")
+    elif args.versioned:
+        run_versioned_extraction(
+            spark,
+            transcripts,
+            args.output,
+            n_buckets=args.buckets,
+            wave_size=args.wave_size,
+            salt=args.salt,
+        )
+        n_out = read_snapshot(spark, args.output).count()
     else:
         run_checkpointed_extraction(
             spark,
