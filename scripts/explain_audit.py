@@ -316,6 +316,19 @@ def main() -> None:
     )
 
     add(
+        "TPC-H Q2 over the derived partsupp bridge (round 7)",
+        "The partsupp derivation is DIM-ONLY work (part x 4 md5 slots; "
+        "supplier count rides in as a broadcast 1-row aggregate = "
+        "BroadcastNestedLoopJoin against a single row), so no fact "
+        "table is touched and the plan is invariant to corpus scale.  "
+        "All four dims broadcast into the bridge; the exchanges are "
+        "the slot dedup (4*|part| rows) and the per-part window MIN; "
+        "the total-order LIMIT ends in TakeOrderedAndProject (top-k "
+        "merged on the driver, never a global sort).",
+        QUERIES["q2_min_cost_supplier"](spark, SF),
+    )
+
+    add(
         "Exact dedup groups",
         "Partial hash aggregation (map-side combine on md5) before the "
         "single exchange — shuffle volume is one (hash, count, min_id) row "
