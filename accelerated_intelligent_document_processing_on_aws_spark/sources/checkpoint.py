@@ -550,3 +550,44 @@ def expire_snapshots(out_dir: str, keep_from: int) -> dict:
     manifest["expired_snapshots"] = sorted(expired_prior | set(to_expire))
     _write_manifest(out_dir, manifest, operation=f"expire_below_{keep_from}")
     return {"expired": to_expire, "removed_locations": removed}
+
+
+def compact_snapshot(
+    spark: SparkSession, out_dir: str, target_file_mb: int = 128
+) -> dict:
+    """Iceberg ``rewrite_data_files`` analog on the versioned layout:
+    every bucket whose current location holds more parquet files than
+    its bytes justify is rewritten (coalesced toward ``target_file_mb``
+    per file) into a NEW ``v=<sid>`` location, all repointed in ONE
+    commit.  Row content is unchanged and prior snapshots are untouched
+    — the pre-compaction file sets remain readable until
+    :func:`expire_snapshots` collects them.  Small-file pressure is the
+    classic failure mode of a long-running wave/delete cadence at
+    10^12-turn scale; compaction keeps scan task counts proportional to
+    bytes, not to commit history.  Returns ``{bucket: (files_before,
+    files_after)}`` for the buckets actually rewritten."""
+    manifest = read_manifest(out_dir)
+    data = dict(manifest.get("data_locations", {}))
+    if not data:
+        raise ValueError(f"{out_dir} has no versioned extraction manifest")
+    sid_next = int(manifest.get("snapshot_id", 0)) + 1
+    target_bytes = target_file_mb * 1024 * 1024
+    changed: dict = {}
+    for b, loc in sorted(data.items()):
+        path = os.path.join(out_dir, "data", loc)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+        n_target = max(1, -(-total // target_bytes))  # ceil div
+        if n_target >= len(files):
+            continue
+        new_loc = _data_loc(sid_next, int(b))
+        spark.read.parquet(path).coalesce(int(n_target)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "data", new_loc))
+        data[b] = new_loc
+        changed[int(b)] = (len(files), int(n_target))
+    if changed:
+        manifest["data_locations"] = data
+        _write_manifest(out_dir, manifest, operation="compact")
+        assert manifest["snapshot_id"] == sid_next
+    return changed

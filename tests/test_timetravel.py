@@ -171,3 +171,36 @@ class TestVersionedLayout:
         run_versioned_extraction(spark, src, out, n_buckets=2, wave_size=2, salt=4)
         with pytest.raises(KeyError):
             read_snapshot(spark, out, 42)
+
+    def test_compact_snapshot_shrinks_files_preserving_rows(
+        self, spark, corpus, tmp_path_factory
+    ):
+        src = spark.read.parquet(corpus)
+        out = str(tmp_path_factory.mktemp("tt") / "run")
+        run_versioned_extraction(spark, src, out, n_buckets=2, wave_size=2, salt=4)
+        pre_sid = read_manifest(out)["snapshot_id"]
+        pre_rows = _rows(read_snapshot(spark, out))
+
+        def n_files(loc):
+            d = os.path.join(out, "data", loc)
+            return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+        pre_map = read_manifest(out)["data_locations"]
+        assert any(n_files(loc) > 1 for loc in pre_map.values())
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            compact_snapshot,
+        )
+
+        changed = compact_snapshot(spark, out)  # tiny data → 1 file/bucket
+        assert changed and all(after < before for before, after in changed.values())
+        m = read_manifest(out)
+        assert m["snapshot_id"] == pre_sid + 1
+        assert all(n_files(loc) == 1 for loc in m["data_locations"].values())
+        # rows unchanged, and the PRE-compaction snapshot still readable
+        assert _rows(read_snapshot(spark, out)) == pre_rows
+        assert _rows(read_snapshot(spark, out, pre_sid)) == pre_rows
+        # expire collects the pre-compaction file sets; latest unaffected
+        expire_snapshots(out, keep_from=m["snapshot_id"])
+        assert _rows(read_snapshot(spark, out)) == pre_rows
+        with pytest.raises(ValueError, match="expired"):
+            read_snapshot(spark, out, pre_sid)
