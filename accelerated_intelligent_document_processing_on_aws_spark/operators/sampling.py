@@ -61,6 +61,58 @@ def stratified_hash_sample(
     return df.where(u < frac)
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    target_fraction: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-balanced group mixing — the multilingual-pretraining
+    rebalance (mBERT/XLM-R style): per-group sampling rates are made
+    proportional to ``n_g^alpha`` instead of ``n_g``, so low-resource
+    groups are UPSAMPLED relative to their corpus share while the
+    overall kept fraction targets ``target_fraction``::
+
+        rate_g = min(1, target_fraction * total * n_g^alpha
+                        / sum(n^alpha) / n_g)
+
+    A row is kept iff its key's :func:`hash_uniform` < ``rate_g`` — the
+    same audit-from-the-row-alone determinism as the other samplers.
+    The default ``alpha=0.5`` uses ``sqrt``, which IEEE-754 requires to
+    be correctly rounded in every engine; the rate is additionally
+    quantized to 6dp so the float ``sum(sqrt(n))`` denominator's
+    accumulation-order ulp can never flip a keep decision across
+    engines or partitionings.
+
+    Plan shape: one dim-sized group count, a broadcast 1-row total,
+    and a broadcast rate join back — the corpus is scanned once, with
+    zero wide shuffles beyond the group-count aggregate."""
+    powf = F.sqrt if alpha == 0.5 else (lambda c: F.pow(c, F.lit(alpha)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = counts.agg(
+        F.sum("_n").alias("_total"), F.sum(powf(F.col("_n"))).alias("_denom")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_fraction)
+                * F.col("_total")
+                * powf(F.col("_n"))
+                / F.col("_denom")
+                / F.col("_n"),
+            ),
+            6,
+        ).alias("_rate"),
+    )
+    u = hash_uniform(F.col(key_col))
+    return df.join(F.broadcast(rates), group_col).where(u < F.col("_rate")).drop(
+        "_rate"
+    )
+
+
 def pack_token_windows(
     df: DataFrame,
     order_col: str,

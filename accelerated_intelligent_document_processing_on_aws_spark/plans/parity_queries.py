@@ -924,6 +924,37 @@ def stratified_hash_sample_docs(spark, sf_dir):
 
 
 @q(
+    "temperature_mix_sample",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, SUM(sqrt(n)) AS denom FROM c),
+    r AS (SELECT c.lang,
+                 ROUND(LEAST(1.0, 0.5 * t.total * sqrt(c.n) / t.denom / c.n), 6)
+                   AS rate
+          FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE {_HASH_U.format(k="d.doc_id")} < r.rate
+    """,
+)
+def temperature_mix_sample_docs(spark, sf_dir):
+    """Temperature-balanced language mixing (mBERT/XLM-R alpha=0.5
+    rebalance): per-language keep rates proportional to sqrt(n) rather
+    than n, so low-resource languages are upsampled relative to their
+    corpus share while the kept total targets 50%.  sqrt is correctly
+    rounded under IEEE-754 in both engines and the rate is quantized to
+    6dp, so the keep decision is reproducible cross-engine.  Plan: one
+    dim-sized language count, a broadcast 1-row (total, denom), and a
+    broadcast rate join — one corpus scan."""
+    from ..operators.sampling import temperature_mix_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix_sample(
+        d, "doc_id", "lang", target_fraction=0.5, alpha=0.5
+    ).select("doc_id", "lang")
+
+
+@q(
     "pack_token_windows",
     """
     WITH t AS (

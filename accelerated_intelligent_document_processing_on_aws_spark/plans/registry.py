@@ -35,11 +35,13 @@ FRONT_R7_NEW = [
     "q16_supplier_cnt",
     "q20_excess_suppliers",
     # late-round-7 additions: Q2/Q11 over the deterministically
-    # derived partsupp bridge — the TPC-H battery is now 22/22.
-    # Two of the three rows-only re-presents made room (they stay
-    # pytest-gated and rotate back in r8).
+    # derived partsupp bridge (TPC-H battery now 22/22) and the
+    # temperature-balanced language-mixing sampler.  The three
+    # rows-only re-presents made room (they stay pytest-gated and
+    # rotate back in r8).
     "q2_min_cost_supplier",
     "q11_important_stock",
+    "temperature_mix_sample",
 ]
 
 FRONT_STALE_R4 = [
@@ -87,9 +89,7 @@ FRONT_STALE_R4 = [
     "text_confidence_table",
 ]
 
-FRONT_ROWS_ONLY_R7 = [
-    "minhash_lsh_near_dup",
-]
+FRONT_ROWS_ONLY_R7: list = []
 
 FRONT = FRONT_R7_NEW + FRONT_STALE_R4 + FRONT_ROWS_ONLY_R7
 

@@ -489,6 +489,34 @@ class TestSamplingOps:
         again = sampling.hash_split(df, "conv", {"train": 0.8, "val": 0.1, "test": 0.1})
         assert out.exceptAll(again).count() == 0
 
+    def test_temperature_mix_upsamples_low_resource_groups(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+            sampling,
+        )
+
+        # 900 'en' docs vs 100 'yo' docs: at alpha=0.5 the rate ratio
+        # yo/en is sqrt(900/100) = 3x.
+        rows = [(i, "en") for i in range(900)] + [(i + 900, "yo") for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, lang string")
+        out = sampling.temperature_mix_sample(
+            df, "id", "lang", target_fraction=0.5, alpha=0.5
+        )
+        kept = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        frac_en, frac_yo = kept["en"] / 900, kept["yo"] / 100
+        # exact rates: denom = 30+10 = 40; en 0.5*1000*30/40/900 = 0.4167,
+        # yo 0.5*1000*10/40/100 = 1.25 -> capped at 1.0 (all kept)
+        assert kept["yo"] == 100
+        assert 0.30 < frac_en < 0.52  # hash-uniform noise band around 0.4167
+        assert frac_yo > 2 * frac_en  # the rebalance actually happened
+        # deterministic: rerun identical
+        again = sampling.temperature_mix_sample(
+            df, "id", "lang", target_fraction=0.5, alpha=0.5
+        )
+        assert out.exceptAll(again).count() == 0
+
     def test_pack_token_windows_monotone_and_bounded(self, spark):
         from accelerated_intelligent_document_processing_on_aws_spark.operators import (
             sampling,
