@@ -204,3 +204,40 @@ class TestVersionedLayout:
         assert _rows(read_snapshot(spark, out)) == pre_rows
         with pytest.raises(ValueError, match="expired"):
             read_snapshot(spark, out, pre_sid)
+
+    def test_incremental_scan_reads_only_changed_buckets(
+        self, spark, corpus, tmp_path_factory
+    ):
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            read_incremental,
+        )
+
+        src = spark.read.parquet(corpus)
+        out = str(tmp_path_factory.mktemp("tt") / "run")
+        run_versioned_extraction(spark, src, out, n_buckets=4, wave_size=2, salt=4)
+        # snapshots 1 and 2 = the two waves; incremental (1, 2] is wave 2
+        inc = read_incremental(spark, out, since_snapshot_id=1)
+        full, s1 = read_snapshot(spark, out), read_snapshot(spark, out, 1)
+        assert sorted(_rows(inc) + _rows(s1)) == _rows(full)
+        # a delete commit surfaces only the rewritten buckets
+        victim = src.select("conv_id").first()["conv_id"]
+        pre_sid = read_manifest(out)["snapshot_id"]
+        delete_conversations_versioned(spark, out, [victim])
+        inc2 = read_incremental(spark, out, since_snapshot_id=pre_sid)
+        m = read_manifest(out)
+        changed_buckets = set(
+            int(b) for b in m["snapshots"][-1]["data"].keys()
+        )
+        got_buckets = {
+            r["bucket"] for r in inc2.select("bucket").distinct().collect()
+        }
+        assert got_buckets == changed_buckets
+        assert inc2.where(inc2.conv_id == victim).count() == 0
+        # empty range → empty frame with the full schema
+        inc3 = read_incremental(
+            spark, out, since_snapshot_id=m["snapshot_id"],
+            upto_snapshot_id=m["snapshot_id"],
+        )
+        assert inc3.count() == 0 and inc3.columns == full.columns
+        with pytest.raises(KeyError):
+            read_incremental(spark, out, since_snapshot_id=77)
