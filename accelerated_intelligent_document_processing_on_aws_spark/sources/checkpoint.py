@@ -384,6 +384,11 @@ def run_versioned_extraction(
     manifest = read_manifest(out_dir)
     if manifest["n_buckets"] not in (None, n_buckets):
         raise ValueError("n_buckets changed across resume")
+    if manifest.get("stream_batches"):
+        raise ValueError(
+            f"{out_dir} holds streaming snapshot commits; bucket waves "
+            "would mix layouts — use a separate output"
+        )
     manifest["n_buckets"] = n_buckets
     done = set(manifest["done_buckets"])
     data = dict(manifest.get("data_locations", {}))
@@ -471,6 +476,11 @@ def delete_conversations_versioned(
     manifest = read_manifest(out_dir)
     n_buckets = manifest["n_buckets"]
     data = dict(manifest.get("data_locations", {}))
+    if manifest.get("stream_batches"):
+        raise ValueError(
+            f"{out_dir} holds stream-committed snapshots (no hash-bucket "
+            "targeting); filter-rewrite the batch locations instead"
+        )
     if n_buckets is None or not data:
         raise ValueError(f"{out_dir} has no versioned extraction manifest")
     sid_next = int(manifest.get("snapshot_id", 0)) + 1
@@ -580,12 +590,12 @@ def compact_snapshot(
         n_target = max(1, -(-total // target_bytes))  # ceil div
         if n_target >= len(files):
             continue
-        new_loc = _data_loc(sid_next, int(b))
+        new_loc = f"v={sid_next}/bucket_pt={b}"  # key is opaque (bucket or batch)
         spark.read.parquet(path).coalesce(int(n_target)).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "data", new_loc))
         data[b] = new_loc
-        changed[int(b)] = (len(files), int(n_target))
+        changed[b] = (len(files), int(n_target))
     if changed:
         manifest["data_locations"] = data
         _write_manifest(out_dir, manifest, operation="compact")
@@ -639,3 +649,47 @@ def read_incremental(
             f"{len(missing)} changed location(s) expired, e.g. {missing[0]}"
         )
     return spark.read.parquet(*sorted(paths))
+
+
+def versioned_stream_sink(out_dir: str, salt: int = 8):
+    """Streaming ingestion into the versioned layout — the Iceberg
+    streaming-sink analog: returns a ``foreachBatch`` function that
+    extracts each micro-batch of transcript turns and commits it as ONE
+    snapshot (location key ``batch-<id>``), with EXACTLY-ONCE semantics
+    on top of foreachBatch's at-least-once contract: committed batch
+    ids are recorded inside the same atomic manifest commit as the data
+    pointer, so a replayed micro-batch is recognized and skipped, and a
+    crash between data write and manifest commit leaves only an orphan
+    directory (invisible; collected by :func:`expire_snapshots`).
+
+    Streaming outputs are append-only snapshot units, not hash buckets
+    — do not mix with the wave writer in one output directory
+    (:func:`run_versioned_extraction` refuses).  ``read_snapshot`` /
+    ``read_incremental`` / ``compact_snapshot`` / ``expire_snapshots``
+    work unchanged (they treat mapping keys opaquely)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = read_manifest(out_dir)
+        if manifest["n_buckets"] is not None:
+            raise ValueError(
+                f"{out_dir} holds a bucket-wave extraction; streaming "
+                "commits would mix layouts — use a separate output"
+            )
+        if int(batch_id) in manifest.get("stream_batches", []):
+            return  # at-least-once redelivery: already committed
+        sid_next = int(manifest.get("snapshot_id", 0)) + 1
+        loc = f"v={sid_next}/batch={int(batch_id)}"
+        extracted = extract_turns(batch_df, salt=salt)
+        drop_internal(extracted).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "data", loc)
+        )
+        data = dict(manifest.get("data_locations", {}))
+        data[f"batch-{int(batch_id)}"] = loc
+        manifest["data_locations"] = data
+        manifest.setdefault("stream_batches", []).append(int(batch_id))
+        _write_manifest(
+            out_dir, manifest, operation=f"stream_batch:{int(batch_id)}"
+        )
+
+    return write_batch

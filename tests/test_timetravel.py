@@ -241,3 +241,81 @@ class TestVersionedLayout:
         assert inc3.count() == 0 and inc3.columns == full.columns
         with pytest.raises(KeyError):
             read_incremental(spark, out, since_snapshot_id=77)
+
+
+class TestVersionedStreamSink:
+    def test_stream_commits_snapshots_exactly_once(
+        self, spark, corpus, tmp_path_factory
+    ):
+        import glob
+        import shutil
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from accelerated_intelligent_document_processing_on_aws_spark.sources.checkpoint import (
+            versioned_stream_sink,
+        )
+
+        base = tmp_path_factory.mktemp("tt-stream")
+        shard_dir = base / "shards"
+        shard_dir.mkdir()
+        src = spark.read.parquet(corpus)
+        total = src.count()
+        half = total // 2
+        ranked = src.withColumn(
+            "rn", F.row_number().over(Window.orderBy("conv_id", "turn_idx"))
+        )
+        for i, pred in enumerate(
+            (F.col("rn") <= half, F.col("rn") > half)
+        ):
+            tmpd = str(base / f"w{i}")
+            ranked.where(pred).drop("rn").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmpd)
+            shutil.move(
+                glob.glob(tmpd + "/part-*.parquet")[0],
+                str(shard_dir / f"shard{i}.parquet"),
+            )
+        out = str(base / "out")
+        sink = versioned_stream_sink(out, salt=4)
+        q = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(shard_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(base / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        m = read_manifest(out)
+        assert len(m.get("stream_batches", [])) == 2
+        assert m["snapshot_id"] == 2
+        # streamed result == batch extraction of the full input
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.extract import (
+            drop_internal,
+            extract_turns,
+        )
+
+        want = sorted(
+            tuple(r)
+            for r in drop_internal(extract_turns(src, salt=4))
+            .select("conv_id", "turn_idx", "extracted_text")
+            .collect()
+        )
+        got = _rows(read_snapshot(spark, out))
+        assert got == want
+        # snapshot 1 = exactly the first micro-batch
+        assert read_snapshot(spark, out, 1).count() == half
+        # at-least-once redelivery of a committed batch is a no-op
+        sink(src.limit(5), 0)
+        assert read_manifest(out)["snapshot_id"] == 2
+        assert _rows(read_snapshot(spark, out)) == got
+        # layout-mixing guards both ways
+        with pytest.raises(ValueError, match="mix layouts"):
+            run_versioned_extraction(spark, src, out, n_buckets=4)
+        wave_out = str(base / "wave")
+        run_versioned_extraction(spark, src, wave_out, n_buckets=2, wave_size=2, salt=4)
+        with pytest.raises(ValueError, match="mix layouts"):
+            versioned_stream_sink(wave_out)(src, 0)
