@@ -946,6 +946,65 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Asymmetric shingle containment per in-block pair — the
+    quote/inclusion detector symmetric Jaccard misses.
+
+    ``cont_a_in_b = |S_A ∩ S_B| / |S_A|`` (share of A's distinct
+    n-gram shingles that also appear in B); a short document quoted
+    verbatim inside a long one scores containment ≈ 1 while its
+    Jaccard stays ≈ |A|/|B| ≈ 0.  Returns both directions plus the
+    symmetric max, filtered at ``threshold`` on the max (0.0 = audit
+    mode, emit every in-block pair).
+
+    Same blocking contract as :func:`ngram_jaccard_pairs`: pairwise
+    work is bounded per block; the scale path blocks on an LSH band
+    (reference analog: the assessment stage's attribute-overlap
+    checks, ``evaluation/comparator.py`` — here generalized to corpus
+    curation).  All arithmetic is integer-set size division, so the
+    6-dp round is cross-engine exact."""
+    t = docs.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id"),
+        shingles(tokens(text_col), n).alias("sh"),
+    )
+    j = (
+        t.alias("l")
+        .join(
+            t.alias("r"),
+            (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")),
+        )
+        # inner projection: the array_intersect is the expensive
+        # subtree and feeds three output columns — single-evaluate it
+        # (HOF/CSE note, plans/corpus_queries.py semantic_cosine_eval)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.size(F.array_intersect("l.sh", "r.sh")).alias("_i"),
+            F.size("l.sh").alias("_la"),
+            F.size("r.sh").alias("_lb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / F.col("_la"), 6).alias("cont_a_in_b"),
+            F.round(F.col("_i") / F.col("_lb"), 6).alias("cont_b_in_a"),
+            F.round(
+                F.greatest(F.col("_i") / F.col("_la"), F.col("_i") / F.col("_lb")),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return j.where(F.col("containment") >= threshold)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1008,4 +1067,119 @@ def decontaminate(
     return hits.groupBy("id").agg(
         F.count(F.col("_hit")).alias("n_hits"),
         (F.count(F.col("_hit")) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span removal (suffix-array dedup analog)
+# ---------------------------------------------------------------------------
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 5,
+    min_span_tokens: int = 10,
+) -> DataFrame:
+    """Exact-substring dedup: REMOVE globally-duplicated token runs —
+    the Spark-first analog of suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"),
+    going one step past ``duplicate_ngram_spans``' detection to
+    produce the cleaned corpus.
+
+    A position-``i`` token ``gram_n``-gram whose 16-byte md5 occurs
+    2+ times corpus-wide marks a duplicated window ``[i, i+n-1]``;
+    overlapping/adjacent windows (gap ≤ ``gram_n``) merge into maximal
+    spans via gaps-and-islands, and spans covering at least
+    ``min_span_tokens`` tokens are cut from the document.  Output per
+    document: token count, removed-token count, and the cleaned text
+    (kept tokens of the lowercased whitespace tokenization, joined by
+    single spaces — the same canonical form every dedup operator here
+    hashes).
+
+    Plan shape (the 100-TB story):
+      1. positional gram hashes exploded once — shuffle rows are
+         (id, pos, 16-byte hash), never text;
+      2. ONE exchange on the gram hash serves the global multiplicity
+         (window count; same skew note as ``duplicate_ngram_spans`` —
+         cap gram multiplicity first on corpora where a single gram
+         can repeat 10^9 times);
+      3. islands + spans are per-document window/agg work on the
+         (tiny) duplicated-position subset, partitioned by id;
+      4. span sets re-join the token arrays by id (left join; docs
+         with no qualifying span pass through untouched), and the
+         kept-position filter runs as ONE higher-order-function pass
+         evaluated in an inner projection (single evaluation — the
+         repeated-HOF-subtree gate covers this plan).
+    Reference analog: the OCR post-processing dedup the reference
+    applies per document (``ocr/service.py`` text assembly) lifted to
+    corpus scope."""
+    from pyspark.sql import Window
+
+    n = gram_n
+    toks = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    grams = (
+        toks.where(F.size("_t") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))).alias(
+                            "g"
+                        ),
+                    ),
+                )
+            ).alias("_pg"),
+        )
+        .select("id", F.col("_pg.pos").alias("pos"), F.col("_pg.g").alias("g"))
+    )
+    counted = grams.withColumn(
+        "_c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    dup = counted.where(F.col("_c") > 1).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = dup.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = brk.withColumn("_gid", F.sum("_brk").over(w))
+    spans = (
+        grp.groupBy("id", "_gid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (n - 1)).alias("e"))
+        .where(F.col("e") - F.col("s") + 1 >= min_span_tokens)
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"))
+    )
+    base = toks.join(spans, "id", "left").select(
+        "id",
+        "_t",
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<s:int,e:int>>")
+        ).alias("_spans"),
+    )
+    # sequence(1, 0) would DESCEND — guard the empty-token case
+    positions = F.when(F.size("_t") < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size("_t"))
+    )
+    kept = F.filter(
+        positions,
+        lambda p: ~F.exists(
+            F.col("_spans"), lambda sp: (p >= sp["s"]) & (p <= sp["e"])
+        ),
+    )
+    proj = base.select(
+        "id", "_t", F.size("_t").alias("_n"), kept.alias("_kp")
+    )
+    return proj.select(
+        F.col("id").alias(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        (F.col("_n") - F.size("_kp")).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform("_kp", lambda p: F.element_at(F.col("_t"), p)), " "
+        ).alias("cleaned_text"),
     )

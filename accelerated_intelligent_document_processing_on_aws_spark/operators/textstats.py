@@ -351,3 +351,71 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "term", "tfidf", "rank")
     )
+
+
+def unigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document self-perplexity under the corpus's own unigram MLE
+    — the CCNet-style perplexity quality filter with the external LM
+    replaced by the corpus unigram table (rare-token-heavy documents
+    score high; boilerplate scores low).
+
+    score = -(1/n) Σ_t ln(cnt(t)/N) = ln(N) - mean(ln cnt(t))
+
+    Cross-engine exactness at 1000 executors: ``ln`` outputs are
+    quantized to integer micro-nats PER TOKEN (``round(ln(cnt)·1e6)``
+    as bigint) before any aggregation, so the per-document sum is
+    order-independent integer arithmetic — the same defense the
+    decimal TPC-H revenue sums use against nondeterministic partial-
+    aggregate ordering (NOTES r7: supplier_lineitem_rollup).  The one
+    remaining float step, the final integer→double division and 6-dp
+    round, is IEEE-exact in both engines.
+
+    Plan: one token explode; vocabulary counts via ONE hash aggregate
+    on the token (map-side combine absorbs within-partition repeats);
+    N as a broadcast 1-row aggregate of the vocabulary (lazy, no
+    driver action); token→count re-join on the token key; per-doc
+    rollup on id.  Token-less documents have no likelihood and emit
+    no row (both engines drop them in the inner join).  Reference
+    analog: the assessment stage's per-document confidence scoring
+    (``assessment/service.py``) re-expressed as a corpus-statistics
+    quality signal."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = F.broadcast(
+        vocab.agg(
+            F.round(F.log(F.sum("_c").cast("double")) * 1e6)
+            .cast("bigint")
+            .alias("_qn")
+        )
+    )
+    q = toks.join(vocab, "tok").select(
+        "id",
+        (F.round(F.log(F.col("_c").cast("double")) * 1e6)).cast("bigint").alias("_q"),
+    )
+    return (
+        q.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_q").cast("bigint").alias("_sq"),
+        )
+        .crossJoin(total)
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(
+                (F.col("n_tokens") * F.col("_qn") - F.col("_sq"))
+                / (F.col("n_tokens") * F.lit(1e6)),
+                6,
+            ).alias("logppl"),
+        )
+    )

@@ -1759,3 +1759,143 @@ def minhash_md5_signature(spark, sf_dir):
             F.array_join(sig, ",").alias("minhash_sig"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7 late additions: exact-substring removal, self-perplexity,
+# asymmetric containment
+# ---------------------------------------------------------------------------
+
+@q(
+    "exact_substring_dedup_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ), dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ), dup AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 5
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM grp GROUP BY doc_id, gid
+      HAVING MAX(pos) + 4 - MIN(pos) + 1 >= 10
+    ), posi AS (
+      SELECT tk.doc_id, u.i AS pos, tk.t[u.i] AS tok
+      FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM posi p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos BETWEEN s.s AND s.e)
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM toks tk
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def exact_substring_dedup_docs(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al. suffix-array dedup analog):
+    maximal runs of corpus-duplicated 5-gram windows covering >= 10
+    tokens are cut; output is the cleaned corpus plus removal counts.
+    See ``operators/dedup.remove_duplicated_spans`` for the plan-shape
+    story (one gram-hash exchange, per-doc islands on the duplicated
+    subset only, single-evaluated HOF kept-position filter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(
+        docs, gram_n=5, min_span_tokens=10
+    )
+
+
+@q(
+    "unigram_logppl_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(ROUND(ln(CAST(SUM(c) AS DOUBLE)) * 1e6) AS BIGINT) AS qn
+      FROM vocab
+    ), q AS (
+      SELECT t.doc_id,
+             CAST(ROUND(ln(CAST(v.c AS DOUBLE)) * 1e6) AS BIGINT) AS q
+      FROM toks t JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND((COUNT(*) * (SELECT qn FROM tot) - CAST(SUM(q) AS BIGINT))
+                 / (COUNT(*) * 1e6), 6) AS logppl
+    FROM q GROUP BY doc_id
+    """,
+)
+def unigram_logppl_docs(spark, sf_dir):
+    """Corpus self-perplexity quality score (CCNet analog): per-doc
+    mean negative unigram log-likelihood, integer-micro-nat quantized
+    per token so the distributed sum is order-independent (see
+    ``operators/textstats.unigram_logppl``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.unigram_logppl(docs)
+
+
+@q(
+    "containment_quote_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1),
+               i -> regexp_split_to_array(trim(lower(text)), '\\s+')[i] || ' ' ||
+                    regexp_split_to_array(trim(lower(text)), '\\s+')[i+1]
+             )) AS sh
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 6) AS cont_a_in_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(b.sh), 6) AS cont_b_in_a,
+           ROUND(GREATEST(
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)),
+             6) AS containment
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def containment_quote_pairs(spark, sf_dir):
+    """Asymmetric shingle containment per in-block pair — the quote /
+    inclusion detector symmetric Jaccard misses (a short doc quoted
+    inside a long one has containment ~1, Jaccard ~|A|/|B|).  Same
+    blocking + subset contract as ``ngram_jaccard_block_pairs``; the
+    intersect is single-evaluated in an inner projection (see
+    ``operators/dedup.containment_pairs``)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    return dedup.containment_pairs(d, "source", n=2, threshold=0.0)

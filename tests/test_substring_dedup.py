@@ -1,0 +1,176 @@
+"""Planted-fixture tests for the round-7 late operators: exact-substring
+span removal (Lee et al. analog), asymmetric containment, and unigram
+self-perplexity.
+
+The registry queries carry the DuckDB oracle gate at three scale
+factors; these tests pin the SEMANTICS on constructed corpora where
+the right answer is known by hand — span boundaries, both-copy
+removal, threshold edges, quote asymmetry, rarity ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+    dedup,
+    textstats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# a 14-token passage duplicated verbatim across two documents
+PASSAGE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+UNIQ_A = "red orange yellow green blue indigo violet crimson amber teal"
+UNIQ_B = "one two three four five six seven eight nine ten eleven twelve"
+
+
+class TestRemoveDuplicatedSpans:
+    def test_planted_passage_removed_from_both_copies(self, spark):
+        rows = [
+            (1, UNIQ_A + " " + PASSAGE),
+            (2, PASSAGE + " " + UNIQ_B),
+            (3, "standalone words without any duplication footprint here"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10
+            ).collect()
+        }
+        # the duplicated passage is cut from BOTH documents (all
+        # occurrences go — the conservative curation default)
+        assert out[1]["cleaned_text"] == UNIQ_A
+        assert out[2]["cleaned_text"] == UNIQ_B
+        assert out[1]["n_removed"] == 14
+        assert out[2]["n_removed"] == 14
+        assert out[3]["n_removed"] == 0
+        assert (
+            out[3]["cleaned_text"]
+            == "standalone words without any duplication footprint here"
+        )
+
+    def test_short_duplicate_below_min_span_survives(self, spark):
+        # a 6-token duplicate: grams mark it, but the merged span
+        # (6 tokens) is below min_span_tokens=10 → kept
+        short = "pq rs tu vw xy zz"
+        rows = [
+            (1, UNIQ_A + " " + short),
+            (2, short + " " + UNIQ_B),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10
+            ).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["n_removed"] == 0
+
+    def test_span_boundaries_exact(self, spark):
+        # duplicate sits mid-document; neighbors on both sides survive
+        rows = [
+            (1, "aa bb " + PASSAGE + " cc dd"),
+            (2, "ee ff " + PASSAGE + " gg hh"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10
+            ).collect()
+        }
+        assert out[1]["cleaned_text"] == "aa bb cc dd"
+        assert out[2]["cleaned_text"] == "ee ff gg hh"
+
+    def test_whole_doc_removed_and_empty_doc(self, spark):
+        rows = [
+            (1, PASSAGE),
+            (2, PASSAGE),
+            (3, ""),
+            (4, "   "),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10
+            ).collect()
+        }
+        assert out[1]["cleaned_text"] == ""
+        assert out[1]["n_removed"] == out[1]["n_tokens"] == 14
+        assert out[3]["n_tokens"] == 0 and out[3]["cleaned_text"] == ""
+        assert out[4]["n_tokens"] == 0 and out[4]["n_removed"] == 0
+
+    def test_overlapping_duplicates_merge_into_one_span(self, spark):
+        # two overlapping duplicated windows merge (gaps-and-islands):
+        # doc 1 shares its first 12 tokens with doc 2 and its last 12
+        # with doc 3; the union covers all 14 tokens of doc 1.
+        toks = PASSAGE.split()
+        rows = [
+            (1, PASSAGE),
+            (2, " ".join(toks[:12]) + " " + UNIQ_B),
+            (3, UNIQ_A + " " + " ".join(toks[2:])),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10
+            ).collect()
+        }
+        assert out[1]["n_removed"] == 14
+        assert out[1]["cleaned_text"] == ""
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_asymmetry(self, spark):
+        # doc 2 is doc 1 quoted inside a longer document: containment
+        # of 1-in-2 is 1.0 while Jaccard is well below it
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, quote),
+            (2, UNIQ_A + " " + quote + " " + UNIQ_B),
+            (3, "entirely disjoint vocabulary occupies this third document"),
+        ]
+        df = _docs(spark, rows).selectExpr("doc_id", "text", "'s' AS blk")
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in dedup.containment_pairs(df, "blk", n=2).collect()
+        }
+        pair = out[(1, 2)]
+        assert pair["cont_a_in_b"] == pytest.approx(1.0)
+        assert pair["cont_b_in_a"] < 0.5
+        assert pair["containment"] == pytest.approx(1.0)
+        assert out[(1, 3)]["containment"] == 0.0
+
+    def test_threshold_filters(self, spark):
+        rows = [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")]
+        df = _docs(spark, rows).selectExpr("doc_id", "text", "'s' AS blk")
+        got = dedup.containment_pairs(df, "blk", n=2, threshold=0.9).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+
+class TestUnigramLogppl:
+    def test_rare_tokens_score_higher(self, spark):
+        # doc 1 repeats one token (max likelihood), doc 2 is all
+        # singletons (max rarity) → strictly higher score
+        rows = [
+            (1, "common common common common"),
+            (2, "emerald zephyr quixotic labyrinth"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in textstats.unigram_logppl(_docs(spark, rows)).collect()
+        }
+        assert out[2]["logppl"] > out[1]["logppl"]
+        # all-singleton doc: every cnt=1, so score = ln(N) exactly
+        import math
+
+        n_total = 8
+        assert out[2]["logppl"] == pytest.approx(math.log(n_total), abs=1e-5)
+
+    def test_tokenless_docs_emit_no_row(self, spark):
+        rows = [(1, "some words here"), (2, ""), (3, "   ")]
+        got = textstats.unigram_logppl(_docs(spark, rows)).collect()
+        assert {r["doc_id"] for r in got} == {1}
