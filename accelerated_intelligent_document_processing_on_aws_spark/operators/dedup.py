@@ -1099,7 +1099,15 @@ def remove_duplicated_spans(
 
     Plan shape (the 100-TB story):
       1. positional gram hashes exploded once — shuffle rows are
-         (id, pos, 16-byte hash), never text;
+         (id, pos, 8-byte xxhash64), never text.  The gram hash never
+         crosses engines or appears in output (grouping only), so the
+         engine-local 64-bit hash is free parity-wise: the DuckDB
+         oracle groups md5 over the same gram strings and reaches the
+         same duplicate decisions (collision odds ~n²·2⁻⁶⁵ ≈ 3e-4 at
+         10⁸ grams; a collision can only over-mark one gram window —
+         same non-adversarial caveat as the sighash family).
+         Measured at the 2.6M-turn drill: md5-hex grams shuffled
+         13.0 GB; xxhash64 cut that (see NOTES r7);
       2. ONE exchange on the gram hash serves the global multiplicity
          (window count; same skew note as ``duplicate_ngram_spans`` —
          cap gram multiplicity first on corpora where a single gram
@@ -1110,7 +1118,12 @@ def remove_duplicated_spans(
          with no qualifying span pass through untouched), and the
          kept-position filter runs as ONE higher-order-function pass
          evaluated in an inner projection (single evaluation — the
-         repeated-HOF-subtree gate covers this plan).
+         repeated-HOF-subtree gate covers this plan).  The spans side
+         holds ONLY documents with a qualifying duplicated run, so at
+         healthy dup rates it broadcasts (the plan PLANS.md pins); on
+         a pathologically duplicated corpus AQE falls back to a
+         shuffle join whose worst case is one text exchange — the
+         same single-text-shuffle budget as the C4 paragraph dedup.
     Reference analog: the OCR post-processing dedup the reference
     applies per document (``ocr/service.py`` text assembly) lifted to
     corpus scope."""
@@ -1127,9 +1140,9 @@ def remove_duplicated_spans(
                     F.sequence(F.lit(1), F.size("_t") - (n - 1)),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))).alias(
-                            "g"
-                        ),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice(F.col("_t"), i, n))
+                        ).alias("g"),
                     ),
                 )
             ).alias("_pg"),
@@ -1183,3 +1196,148 @@ def remove_duplicated_spans(
             F.transform("_kp", lambda p: F.element_at(F.col("_t"), p)), " "
         ).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (membership pruning for snapshot ingestion)
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    ref: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> bytes:
+    """Build a Bloom-filter bitmap over ``ref[key_col]`` (Dolma-style
+    membership structure, Spark-distributed build).
+
+    Each key sets ``k`` bit positions derived from two xxhash64 draws
+    via the Kirsch-Mitzenmacher double-hashing scheme h1 + i·h2 — the
+    standard trick that gets k independent-enough probes from two
+    hashes.  Per-partition bitmaps are OR-reduced: ``mapInPandas``
+    emits ONE m/8-byte row per partition and the driver ORs them
+    streaming via ``toLocalIterator`` (never more than one bitmap in
+    flight).  At 10^12 keys, size m by the standard formula
+    m = -n·ln p / (ln 2)² ≈ 9.6 bits/key at p=1% — a 1.2 TB bitmap is
+    infeasible to broadcast, so the production shape shards the filter
+    by key-hash prefix (each executor holds 1/S of the bitmap and the
+    probe repartitions by shard id); this single-bitmap form is the
+    ≤~1e8-key regime (≤120 MB broadcast), which covers per-snapshot
+    incremental ingestion.
+
+    Sizing is the caller's contract: FPR ≈ (1 - e^(-k·n/m))^k.  False
+    positives are handled by the exact-verify pass in
+    :func:`bloom_incremental_dedup`; false negatives are impossible by
+    construction (every set bit survives the OR-reduce) — PROVIDED the
+    probe uses the same k, so k is embedded in the returned blob's
+    8-byte header and the probe reads it from there (a probe/build
+    parameter mismatch is unrepresentable — the same artifact-
+    validation rule as the IVF ``ivf_n_lists`` stamp)."""
+    import numpy as np
+
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    if not (1 <= k <= 64):
+        raise ValueError("k must be in [1, 64]")
+    n_words = m_bits // 64
+
+    hashed = ref.select(
+        F.xxhash64(F.col(key_col)).alias("_h1"),
+        F.xxhash64(F.col(key_col), F.lit(0x9E3779B9)).alias("_h2"),
+    )
+
+    def _partition_bitmap(batches):
+        bm = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            h1 = pdf["_h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            h2 = pdf["_h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bm, (pos >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (pos & np.uint64(63)),
+                )
+        yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    rows = hashed.mapInPandas(
+        _partition_bitmap, schema="bitmap binary"
+    ).toLocalIterator()
+    acc = np.zeros(n_words, dtype=np.uint64)
+    for row in rows:
+        acc |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return np.array([k], dtype=np.uint64).tobytes() + acc.tobytes()
+
+
+def bloom_incremental_dedup(
+    incoming: DataFrame,
+    ref: DataFrame,
+    bitmap: bytes,
+    key_col: str = "content_hash",
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental-ingestion exact dedup with Bloom pre-pruning:
+    return the ``incoming`` rows whose ``key_col`` does NOT appear in
+    ``ref`` — exact anti-join SEMANTICS, Bloom-optimized PLAN.
+
+    The naive anti-join shuffles every incoming row against the
+    historical corpus.  Here a broadcast bitmap probe (Arrow-batched
+    pandas UDF, numpy gather — no per-row Python) splits incoming
+    into definitely-novel (bit miss → keep immediately, no shuffle)
+    and possibly-seen (bit hit → exact LEFT ANTI join against ref
+    verifies).  Only the possibly-seen slice — true duplicates plus
+    the FPR-sized sliver of false positives — pays the join, so at a
+    1% FPR and a 5% dup rate the anti-join processes ~6% of incoming
+    instead of 100%.  False negatives cannot occur, so the result is
+    IDENTICAL to the plain anti-join (the registry oracle pins this).
+
+    The bitmap ships once per executor via a SparkContext broadcast;
+    the returned frame carries the original incoming columns.
+
+    ``materialize=True`` (default) lazily localCheckpoints the probed
+    frame so the two consumers (novel fast path, verify join) share
+    ONE scan+probe evaluation — the same single-evaluation defense as
+    the repaired LSH carry=False leg (a filter on a pandas-UDF output
+    column otherwise re-plans the UDF per branch: two ArrowEvalPython
+    nodes, two input scans).  Set it False only when the input is
+    itself a cheap in-memory frame."""
+    import numpy as np
+
+    k = int(np.frombuffer(bitmap[:8], dtype=np.uint64)[0])
+    if not (1 <= k <= 64):
+        raise ValueError(
+            "bitmap blob has no valid k header — build it with bloom_build"
+        )
+    m_bits = (len(bitmap) - 8) * 8
+    sc = incoming.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap[8:])
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def _maybe_seen(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint64)
+        h1 = h1s.to_numpy(dtype=np.int64).astype(np.uint64)
+        h2 = h2s.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(h1), dtype=bool)
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    probed = incoming.withColumn(
+        "_maybe",
+        _maybe_seen(
+            F.xxhash64(F.col(key_col)),
+            F.xxhash64(F.col(key_col), F.lit(0x9E3779B9)),
+        ),
+    )
+    if materialize:
+        probed = probed.localCheckpoint(eager=False)
+    novel_fast = probed.where(~F.col("_maybe")).drop("_maybe")
+    survivors = (
+        probed.where(F.col("_maybe"))
+        .drop("_maybe")
+        .join(ref.select(key_col).distinct(), key_col, "left_anti")
+    )
+    return novel_fast.unionByName(survivors)

@@ -1899,3 +1899,36 @@ def containment_quote_pairs(spark, sf_dir):
     ``operators/dedup.containment_pairs``)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
     return dedup.containment_pairs(d, "source", n=2, threshold=0.0)
+
+
+@q(
+    "bloom_incremental_dedup_docs",
+    """
+    SELECT i.doc_id, i.lang, i.n_chars
+    FROM documents i
+    WHERE i.doc_id % 3 <> 0
+      AND NOT EXISTS (SELECT 1 FROM documents r
+                      WHERE r.doc_id % 3 = 0
+                        AND md5(r.text) = md5(i.text))
+    """,
+)
+def bloom_incremental_dedup_docs(spark, sf_dir):
+    """Incremental-ingestion dedup with Bloom pre-pruning: incoming
+    docs (doc_id % 3 != 0) whose content hash is NOT in the reference
+    snapshot (doc_id % 3 == 0).  The Bloom probe is a PLAN
+    optimization — the oracle pins plain anti-join semantics, which
+    the operator must reproduce exactly (false negatives impossible
+    by construction; false positives removed by the exact-verify
+    join).  See ``operators/dedup.bloom_build`` /
+    ``bloom_incremental_dedup`` for the two-regime (single-bitmap vs
+    sharded) 10^12-key story."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    incoming = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("content_hash")
+    )
+    bitmap = dedup.bloom_build(ref, "content_hash", m_bits=1 << 20, k=7)
+    out = dedup.bloom_incremental_dedup(incoming, ref, bitmap, "content_hash")
+    return out.select("doc_id", "lang", "n_chars")

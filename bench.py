@@ -66,6 +66,10 @@ HEADLINE = [
     "upsert_latest_events",
     "q13_custdist",
     "approx_distinct_hll",
+    # round 7 additions
+    "exact_substring_dedup_docs",
+    "unigram_logppl_docs",
+    "containment_quote_pairs",
 ]
 
 

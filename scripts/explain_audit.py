@@ -336,6 +336,19 @@ def main() -> None:
         dedup.exact_duplicates(docs),
     )
 
+    add(
+        "Exact-substring span removal (round 7)",
+        "Shuffle rows are (id, pos, 16-byte gram hash), never text: ONE "
+        "exchange on the gram hash carries the global multiplicity "
+        "window; islands/spans run on the (tiny) duplicated-position "
+        "subset partitioned by id; the kept-position HOF filter appears "
+        "exactly once (single evaluation through the inner projection — "
+        "the repeated-HOF-subtree gate covers this plan); the span join "
+        "back to token arrays is a LEFT join so untouched documents "
+        "stream through.",
+        dedup.remove_duplicated_spans(docs),
+    )
+
     md = ["# PLANS — physical-plan audit of the load-bearing operators\n"]
     md.append(
         "Generated by `python scripts/explain_audit.py` (Spark "
