@@ -588,3 +588,101 @@ def pq_topk_rerank(
         .select("query_id", "vec_id", cosine_sim(F.col("_cv"), F.col("_qv")).alias("cosine"))
     )
     return _topk_by_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication over embedding clusters
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): drop documents whose
+    EMBEDDINGS are near-identical, keeping one representative per
+    semantic duplicate group.
+
+    The paper's recipe, Spark-first:
+      1. k-means partition of the embedding space — here the passed
+         ``centroids`` via :func:`assign_ivf_lists`'s argmin expression
+         (the O(C·dim) model is a literal; the corpus never moves);
+         pairwise work is INTRA-CLUSTER ONLY, the approximation that
+         makes the method linear-ish instead of quadratic;
+      2. within-cluster cosine pairs ≥ ``threshold`` (block-local
+         self-join — bounded per cluster the same way the LSH bucket
+         joins are);
+      3. connected components over the pair graph (pointer-jumping
+         :func:`..operators.dedup.duplicate_clusters` — O(log
+         diameter) rounds);
+      4. keep the member FARTHEST from its cluster centroid (the
+         paper's finding: keeping low-centroid-similarity examples
+         preserves diversity best), tie-broken by min id; drop the
+         rest via a broadcast anti-join.
+
+    The centroid-distance array is evaluated ONCE in an inner
+    projection serving both list assignment and the keep ranking (HOF
+    lambdas sit outside Catalyst CSE).  Returns the kept rows of
+    ``emb`` with their original columns."""
+    from .dedup import duplicate_clusters, embedding_near_dup
+
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    assigned = (
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        )
+        .select("_id", "_v", dists.alias("_dists"))
+        .select(
+            "_id",
+            "_v",
+            (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1)
+            .cast("int")
+            .alias("_list"),
+            F.array_min(F.col("_dists")).alias("_d2"),
+        )
+    )
+    pairs = embedding_near_dup(
+        assigned.select(
+            F.col("_id").alias("vec_id"),
+            F.col("_v").alias("embedding"),
+            "_list",
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="_list",
+        threshold=threshold,
+    ).select("id_a", "id_b")
+    clusters = duplicate_clusters(pairs)
+    ranked = (
+        clusters.join(
+            assigned.select(F.col("_id").alias("id"), "_d2"), "id"
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("_d2"), F.asc("id")
+                )
+            ),
+        )
+        .where(F.col("_rk") > 1)
+        .select("id")
+    )
+    losers = F.broadcast(ranked.withColumnRenamed("id", id_col))
+    return emb.join(losers, id_col, "left_anti")

@@ -223,3 +223,30 @@ def pipeline_evaluation_report(spark, sf_dir):
         "conv_id string, turn_idx int, extracted_text string, classification string, confidence double",
     )
     return evaluate_extraction(pred, gold)["by_conversation"]
+
+
+@q("semantic_dedup_keep")
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table with
+    DETERMINISTICALLY PLANTED semantic duplicates: every vec_id % 7
+    == 0 vector gets a copy (id + 1_000_000) scaled by 1.000001 —
+    scaling preserves cosine (= 1.0 ≥ the 0.999 threshold) while the
+    structureless fixture's natural max cosine is 0.513, so the
+    planted pairs are EXACTLY the duplicate groups.  semantic_dedup
+    must drop precisely one member of each pair (the
+    farther-from-centroid one, min-id tie-break) and keep everything
+    else.  Rows-only like its ANN siblings (centroid training is
+    data-derived float arithmetic); the count/one-per-pair property
+    is pinned by tests/test_semantic_dedup.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    copies = e.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.000001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = e.unionByName(copies)
+    cents = similarity.train_centroids(e, n_centroids=8, sample_fraction=1.0)
+    kept = similarity.semantic_dedup(corpus, cents, threshold=0.999)
+    return kept.select("vec_id", "label")
