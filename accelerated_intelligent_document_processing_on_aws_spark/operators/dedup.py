@@ -1080,6 +1080,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     gram_n: int = 5,
     min_span_tokens: int = 10,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup: REMOVE globally-duplicated token runs —
     the Spark-first analog of suffix-array substring dedup (Lee et
@@ -1087,8 +1088,8 @@ def remove_duplicated_spans(
     going one step past ``duplicate_ngram_spans``' detection to
     produce the cleaned corpus.
 
-    A position-``i`` token ``gram_n``-gram whose 16-byte md5 occurs
-    2+ times corpus-wide marks a duplicated window ``[i, i+n-1]``;
+    A position-``i`` token ``gram_n``-gram that occurs 2+ times
+    corpus-wide marks a duplicated window ``[i, i+n-1]``;
     overlapping/adjacent windows (gap ≤ ``gram_n``) merge into maximal
     spans via gaps-and-islands, and spans covering at least
     ``min_span_tokens`` tokens are cut from the document.  Output per
@@ -1124,6 +1125,14 @@ def remove_duplicated_spans(
          a pathologically duplicated corpus AQE falls back to a
          shuffle join whose worst case is one text exchange — the
          same single-text-shuffle budget as the C4 paragraph dedup.
+    ``keep_first=False`` (default) removes EVERY occurrence of a
+    duplicated run — the conservative curation mode.  ``keep_first=
+    True`` is the Lee-et-al production mode: the globally FIRST
+    occurrence of each gram (total order by ``(doc_id, pos)``) is not
+    marked, so one copy of each duplicated passage survives; the rank
+    rides the SAME gram-hash exchange as the multiplicity count (two
+    Window ops, one Exchange).
+
     Reference analog: the OCR post-processing dedup the reference
     applies per document (``ocr/service.py`` text assembly) lifted to
     corpus scope."""
@@ -1152,7 +1161,18 @@ def remove_duplicated_spans(
     counted = grams.withColumn(
         "_c", F.count(F.lit(1)).over(Window.partitionBy("g"))
     )
-    dup = counted.where(F.col("_c") > 1).select("id", "pos")
+    if keep_first:
+        counted = counted.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("id", "pos")
+            ),
+        )
+        dup = counted.where(
+            (F.col("_c") > 1) & (F.col("_rn") > 1)
+        ).select("id", "pos")
+    else:
+        dup = counted.where(F.col("_c") > 1).select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = dup.withColumn(
         "_brk",

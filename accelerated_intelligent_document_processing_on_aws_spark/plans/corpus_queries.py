@@ -1932,3 +1932,71 @@ def bloom_incremental_dedup_docs(spark, sf_dir):
     bitmap = dedup.bloom_build(ref, "content_hash", m_bits=1 << 20, k=7)
     out = dedup.bloom_incremental_dedup(incoming, ref, bitmap, "content_hash")
     return out.select("doc_id", "lang", "n_chars")
+
+
+@q(
+    "exact_substring_keepfirst_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ), marked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY g) AS c,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ), dup AS (
+      SELECT doc_id, pos FROM marked WHERE c > 1 AND rn > 1
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 5
+                  THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+      FROM grp GROUP BY doc_id, gid
+      HAVING MAX(pos) + 4 - MIN(pos) + 1 >= 10
+    ), posi AS (
+      SELECT tk.doc_id, u.i AS pos, tk.t[u.i] AS tok
+      FROM toks tk, UNNEST(range(1, len(tk.t) + 1)) AS u(i)
+    ), kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM posi p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos BETWEEN s.s AND s.e)
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(len(tk.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM toks tk
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+)
+def exact_substring_keepfirst_docs(spark, sf_dir):
+    """Lee-et-al PRODUCTION mode of exact-substring dedup: the
+    globally first occurrence of each duplicated gram (total order by
+    (doc_id, pos)) survives, so one copy of every duplicated passage
+    remains in the corpus; later occurrences are cut as in
+    ``exact_substring_dedup_docs``.  The occurrence rank rides the
+    same gram-hash exchange as the multiplicity count."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(
+        docs, gram_n=5, min_span_tokens=10, keep_first=True
+    )

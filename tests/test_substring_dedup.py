@@ -103,6 +103,38 @@ class TestRemoveDuplicatedSpans:
         assert out[3]["n_tokens"] == 0 and out[3]["cleaned_text"] == ""
         assert out[4]["n_tokens"] == 0 and out[4]["n_removed"] == 0
 
+    def test_keep_first_retains_one_copy(self, spark):
+        # keep_first: the globally first occurrence (min doc_id, pos)
+        # of the duplicated passage survives; the later copy is cut
+        rows = [
+            (1, UNIQ_A + " " + PASSAGE),
+            (2, PASSAGE + " " + UNIQ_B),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicated_spans(
+                _docs(spark, rows), gram_n=5, min_span_tokens=10,
+                keep_first=True,
+            ).collect()
+        }
+        # doc 1 holds the first occurrence of every passage gram
+        # (doc_id 1 < 2) → untouched; doc 2 loses the passage
+        assert out[1]["n_removed"] == 0
+        assert out[1]["cleaned_text"] == UNIQ_A + " " + PASSAGE
+        assert out[2]["n_removed"] == 14
+        assert out[2]["cleaned_text"] == UNIQ_B
+
+    def test_keep_first_within_doc_repeats(self, spark):
+        # the same passage twice inside ONE doc: first copy survives,
+        # second is cut (order by pos within the doc)
+        rows = [(1, PASSAGE + " " + UNIQ_A + " " + PASSAGE)]
+        out = dedup.remove_duplicated_spans(
+            _docs(spark, rows), gram_n=5, min_span_tokens=10,
+            keep_first=True,
+        ).collect()[0]
+        assert out["n_removed"] == 14
+        assert out["cleaned_text"] == PASSAGE + " " + UNIQ_A
+
     def test_overlapping_duplicates_merge_into_one_span(self, spark):
         # two overlapping duplicated windows merge (gaps-and-islands):
         # doc 1 shares its first 12 tokens with doc 2 and its last 12
