@@ -66,10 +66,13 @@ HEADLINE = [
     "upsert_latest_events",
     "q13_custdist",
     "approx_distinct_hll",
-    # round 7 additions
+    # round 7 additions (containment_quote_pairs deliberately NOT here:
+    # audit mode emits every in-block pair — 155k rows / ~8 s at sf0.1,
+    # quadratic by construction — so it would dominate the suite total
+    # without measuring anything the sweep gates don't; it stays a
+    # registry + sweep surface)
     "exact_substring_dedup_docs",
     "unigram_logppl_docs",
-    "containment_quote_pairs",
 ]
 
 

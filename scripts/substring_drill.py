@@ -50,6 +50,11 @@ def main() -> None:
         help="tokens; the Lee-et-al production setting is 50, the "
         "fixture turns are short so the drill default is 25",
     )
+    ap.add_argument(
+        "--keep-first",
+        action="store_true",
+        help="Lee-et-al production mode: first occurrence survives",
+    )
     args = ap.parse_args()
 
     from accelerated_intelligent_document_processing_on_aws_spark.fixtures import (
@@ -93,7 +98,8 @@ def main() -> None:
     out_path = os.path.join(args.workdir, "substring_cleaned.parquet")
     t0 = time.perf_counter()
     cleaned = dedup.remove_duplicated_spans(
-        docs, gram_n=args.gram_n, min_span_tokens=args.min_span
+        docs, gram_n=args.gram_n, min_span_tokens=args.min_span,
+        keep_first=args.keep_first,
     )
     cleaned.write.mode("overwrite").parquet(out_path)
     wall = time.perf_counter() - t0
@@ -119,6 +125,7 @@ def main() -> None:
         "cpus": args.cpus,
         "gram_n": args.gram_n,
         "min_span_tokens": args.min_span,
+        "keep_first": args.keep_first,
         "wall_sec": round(wall, 1),
         "turns_per_sec": round(n_docs / wall, 1),
         "shuffle_write_mb": round(sw / 1e6, 1),
