@@ -337,8 +337,36 @@ def main() -> None:
     )
 
     add(
+        "Bloom incremental dedup (round 7)",
+        "Exact anti-join semantics with a Bloom-pruned plan: ONE "
+        "ArrowEvalPython probe node over the (lazily checkpointed) "
+        "incoming scan feeds both branches — the definitely-novel "
+        "rows union straight through with NO join, and only the "
+        "maybe-seen slice enters the LeftAnti join against the "
+        "reference keys.  The bitmap itself never appears in the "
+        "plan (SparkContext broadcast into the UDF).",
+        (lambda: (
+            lambda ref, inc: dedup.bloom_incremental_dedup(
+                inc,
+                ref,
+                dedup.bloom_build(ref, "content_hash", m_bits=1 << 20, k=7),
+                "content_hash",
+            )
+        )(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                F.md5("text").alias("content_hash")
+            ),
+            docs.where(F.col("doc_id") % 3 != 0).select(
+                "doc_id", F.md5("text").alias("content_hash")
+            ),
+        ))(),
+    )
+
+    add(
         "Exact-substring span removal (round 7)",
-        "Shuffle rows are (id, pos, 16-byte gram hash), never text: ONE "
+        "Shuffle rows are (id, pos, 8-byte xxhash64 gram hash), never text "
+        "(the hash is grouping-only and never crosses engines — switching "
+        "from md5 hex cut the 2.6M-turn drill shuffle 13.0 → 8.28 GB): ONE "
         "exchange on the gram hash carries the global multiplicity "
         "window; islands/spans run on the (tiny) duplicated-position "
         "subset partitioned by id; the kept-position HOF filter appears "
