@@ -419,3 +419,67 @@ def unigram_logppl(
             ).alias("logppl"),
         )
     )
+
+
+def bigram_logppl(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram self-perplexity — the order-sensitive
+    upgrade of :func:`unigram_logppl` (a doc of common words in an
+    uncommon ORDER now scores high, the KenLM-filtering signal the
+    unigram model cannot see).
+
+    score = -(1/P) Σ_pairs ln( c2(prev,cur) / c1(prev) )
+          = (1/P) Σ_pairs [ ln c1(prev) - ln c2(prev,cur) ]
+
+    where c2 is the corpus bigram count and c1(prev) = Σ_cur c2 — the
+    MLE conditional.  Self-scoring needs NO backoff: every scored
+    bigram exists in the corpus by construction (c2 ≥ 1).  Both log
+    terms are quantized to integer micro-nats per pair before the
+    per-document sum, so 1000 executors' partial-aggregate order
+    cannot move the result; the final integer→double division and
+    6-dp round are IEEE-exact in both engines.
+
+    Plan: bigram pairs come straight off the token array
+    (``arrays_zip`` of the array with its shift — no window, no extra
+    shuffle); ONE hash aggregate on the pair key builds c2; c1 is a
+    second, smaller aggregate OF c2 (never a rescan); both join back
+    on the pair.  Documents with <2 tokens have no bigrams and emit
+    no row (both engines drop them in the inner join)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("_t"),
+    )
+    pairs = toks.where(F.size("_t") >= 2).select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("prev"),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("cur"),
+            )
+        ).alias("_p"),
+    ).select("id", F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+    c2 = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("_c2").alias("_c1"))
+    scored = (
+        pairs.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .select(
+            "id",
+            (
+                F.round(F.log(F.col("_c1").cast("double")) * 1e6).cast("bigint")
+                - F.round(F.log(F.col("_c2").cast("double")) * 1e6).cast(
+                    "bigint"
+                )
+            ).alias("_q"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("_q").cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("logppl2"),
+    ).select(F.col("id").alias(id_col), "n_bigrams", "logppl2")

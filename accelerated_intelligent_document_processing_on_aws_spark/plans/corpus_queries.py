@@ -2000,3 +2000,42 @@ def exact_substring_keepfirst_docs(spark, sf_dir):
     return dedup.remove_duplicated_spans(
         docs, gram_n=5, min_span_tokens=10, keep_first=True
     )
+
+
+@q(
+    "bigram_logppl_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), c2 AS (
+      SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur
+    ), c1 AS (
+      SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev
+    ), q AS (
+      SELECT p.doc_id,
+             CAST(ROUND(ln(CAST(c1.c1 AS DOUBLE)) * 1e6) AS BIGINT)
+               - CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE)) * 1e6) AS BIGINT) AS q
+      FROM pairs p
+      JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur
+      JOIN c1 ON p.prev = c1.prev
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(q) AS BIGINT) / (COUNT(*) * 1e6), 6) AS logppl2
+    FROM q GROUP BY doc_id
+    """,
+)
+def bigram_logppl_docs(spark, sf_dir):
+    """Bigram self-perplexity quality score — order-sensitive upgrade
+    of ``unigram_logppl_docs`` (see ``textstats.bigram_logppl``:
+    MLE conditional from corpus bigram counts, no backoff needed for
+    self-scoring, integer micro-nat quantization per pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_logppl(docs)

@@ -91,6 +91,14 @@ FRONT_STALE_R4 = [
 
 FRONT_ROWS_ONLY_R7: list = []
 
+# Round-8 rotation queue (added late in round 7, registered BEHIND the
+# frozen r7 FRONT so the 50-slot rotation plan stayed intact): the five
+# new oracle-paired entries `exact_substring_dedup_docs`,
+# `exact_substring_keepfirst_docs`, `unigram_logppl_docs`,
+# `containment_quote_pairs`, `bloom_incremental_dedup_docs` plus the
+# rows-only `semantic_dedup_keep`, and the three rows-only re-presents
+# deferred from r7 — all go to the TOP of the r8 FRONT, then refresh by
+# evidence age (post-r7 the oldest oracle-paired cohort is r5).
 FRONT = FRONT_R7_NEW + FRONT_STALE_R4 + FRONT_ROWS_ONLY_R7
 
 _ALL: dict = {}

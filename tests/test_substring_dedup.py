@@ -206,3 +206,37 @@ class TestUnigramLogppl:
         rows = [(1, "some words here"), (2, ""), (3, "   ")]
         got = textstats.unigram_logppl(_docs(spark, rows)).collect()
         assert {r["doc_id"] for r in got} == {1}
+
+
+class TestBigramLogppl:
+    def test_order_sensitivity(self, spark):
+        # both docs use the same tokens with the same unigram counts;
+        # doc 2 scrambles the ORDER → its bigrams are rarer → higher
+        # bigram perplexity while unigram logppl ties exactly
+        common = "a b c d " * 5
+        rows = [
+            (1, common + "a b c d"),
+            (2, common + "d c b a"),
+        ]
+        uni = {
+            r["doc_id"]: r["logppl"]
+            for r in textstats.unigram_logppl(_docs(spark, rows)).collect()
+        }
+        bi = {
+            r["doc_id"]: r["logppl2"]
+            for r in textstats.bigram_logppl(_docs(spark, rows)).collect()
+        }
+        assert uni[1] == uni[2]
+        assert bi[2] > bi[1]
+
+    def test_single_token_docs_emit_no_row(self, spark):
+        rows = [(1, "two words"), (2, "one"), (3, "")]
+        got = textstats.bigram_logppl(_docs(spark, rows)).collect()
+        assert {r["doc_id"] for r in got} == {1}
+
+    def test_deterministic_text_scores_zero(self, spark):
+        # a corpus where every prefix has exactly one continuation:
+        # every conditional is 1 → logppl2 = 0
+        rows = [(1, "p q r s"), (2, "p q r s")]
+        got = textstats.bigram_logppl(_docs(spark, rows)).collect()
+        assert all(r["logppl2"] == 0.0 for r in got)
