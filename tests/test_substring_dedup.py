@@ -240,3 +240,70 @@ class TestBigramLogppl:
         rows = [(1, "p q r s"), (2, "p q r s")]
         got = textstats.bigram_logppl(_docs(spark, rows)).collect()
         assert all(r["logppl2"] == 0.0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# property: Spark operator ≡ a 30-line pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _ref_remove_spans(texts, gram_n=5, min_span=10, keep_first=False):
+    """Pure-Python reference of remove_duplicated_spans (same
+    tokenization: lower, whitespace split)."""
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    occ = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - gram_n + 1):
+            occ.setdefault(tuple(t[p:p + gram_n]), []).append((i, p + 1))
+    marked = {i: set() for i in toks}
+    for g, positions in occ.items():
+        if len(positions) < 2:
+            continue
+        for rank, (i, p) in enumerate(sorted(positions)):
+            if keep_first and rank == 0:
+                continue
+            marked[i].add(p)
+    out = {}
+    for i, t in toks.items():
+        spans, run = [], []
+        for p in sorted(marked[i]):
+            if run and p - run[-1] > gram_n:
+                spans.append(run)
+                run = []
+            run.append(p)
+        if run:
+            spans.append(run)
+        cut = set()
+        for run in spans:
+            s, e = run[0], run[-1] + gram_n - 1
+            if e - s + 1 >= min_span:
+                cut.update(range(s, e + 1))
+        kept = [tok for j, tok in enumerate(t, start=1) if j not in cut]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+class TestSubstringProperty:
+    @pytest.mark.parametrize("keep_first", [False, True])
+    def test_equivalence_random_corpora(self, spark, keep_first):
+        import random
+
+        rng = random.Random(1234)
+        vocab = [f"w{j}" for j in range(12)]  # tiny vocab → heavy dups
+        for trial in range(3):
+            texts = [
+                " ".join(rng.choices(vocab, k=rng.randint(0, 30)))
+                for _ in range(40)
+            ]
+            want = _ref_remove_spans(texts, keep_first=keep_first)
+            rows = [(i, t) for i, t in enumerate(texts)]
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"], r["n_removed"], r["cleaned_text"]
+                )
+                for r in dedup.remove_duplicated_spans(
+                    _docs(spark, rows), gram_n=5, min_span_tokens=10,
+                    keep_first=keep_first,
+                ).collect()
+            }
+            assert got == want, f"trial {trial} keep_first={keep_first}"
