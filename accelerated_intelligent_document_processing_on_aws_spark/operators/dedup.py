@@ -1312,6 +1312,11 @@ def bloom_incremental_dedup(
 
     The bitmap ships once per executor via a SparkContext broadcast;
     the returned frame carries the original incoming columns.
+    Reference analog: the document-tracking "already processed" check
+    the reference does per-object against DynamoDB
+    (``idp_common/dynamodb/service.py``) — here lifted to corpus scope
+    as the checkpoint anti-join's (``sources/checkpoint.py``)
+    membership-accelerated form.
 
     ``materialize=True`` (default) lazily localCheckpoints the probed
     frame so the two consumers (novel fast path, verify join) share

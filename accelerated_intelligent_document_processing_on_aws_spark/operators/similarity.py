@@ -626,7 +626,10 @@ def semantic_dedup(
     The centroid-distance array is evaluated ONCE in an inner
     projection serving both list assignment and the keep ranking (HOF
     lambdas sit outside Catalyst CSE).  Returns the kept rows of
-    ``emb`` with their original columns."""
+    ``emb`` with their original columns.  Reference analog: the
+    semantic comparator's embedding-similarity step
+    (``idp_common/evaluation/comparator.py:422-492``) repurposed from
+    pairwise evaluation to corpus-level curation."""
     from .dedup import duplicate_clusters, embedding_near_dup
 
     dists = F.array(

@@ -445,7 +445,10 @@ def bigram_logppl(
     shuffle); ONE hash aggregate on the pair key builds c2; c1 is a
     second, smaller aggregate OF c2 (never a rescan); both join back
     on the pair.  Documents with <2 tokens have no bigrams and emit
-    no row (both engines drop them in the inner join)."""
+    no row (both engines drop them in the inner join).  Reference
+    analog: the assessment stage's per-document confidence signal
+    (``idp_common/assessment/service.py``), replaced by a corpus-
+    statistics language-model score as ``unigram_logppl`` documents."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.filter(
