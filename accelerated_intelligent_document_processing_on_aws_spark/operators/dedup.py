@@ -421,8 +421,12 @@ def minhash_lsh_pairs(
             docs, id_col, text_col, shingle_n, num_hashes, bands,
             jaccard_threshold, max_bucket_size,
         )
+    from ..sources.tables import spread_scan
+
     band_udf = minhash_band_hashes_udf(shingle_n, num_hashes, bands)
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    base = spread_scan(docs).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
     banded = base.select(
         "id", F.posexplode(band_udf("txt")).alias("band_idx", "band_hash")
     )
@@ -513,8 +517,14 @@ def _minhash_pairs_carry(
     distinct so the final exchange only carries true near-dup pairs."""
     from pyspark.sql import Window
 
+    from ..sources.tables import spread_scan
+
     udf = minhash_bands_shingles_udf(shingle_n, num_hashes, bands)
-    base = docs.select(F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s"))
+    # spread_scan: the signature kernel inherits scan parallelism (see
+    # simhash_pairs) — no-op for genuinely multi-partition input
+    base = spread_scan(docs).select(
+        F.col(id_col).alias("id"), udf(F.col(text_col)).alias("s")
+    )
     # no isNotNull filter here: a filter on the UDF column makes Catalyst
     # evaluate the UDF TWICE (once for the predicate, once for the
     # projection — two ArrowEvalPython nodes in the plan); posexplode of
@@ -643,9 +653,14 @@ def simhash_pairs(
     # empty-text filter on the RAW column, not on the UDF output — a
     # predicate on the UDF column makes Catalyst evaluate the UDF twice
     # (see the minhash note above); the UDF returns NULL exactly when
-    # the trimmed text is empty, so this is the same row set
-    fp = docs.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    # the trimmed text is empty, so this is the same row set.
+    # spread_scan (round 8): the fingerprint kernel inherits scan
+    # parallelism, and single-row-group fixture files scan as 1-2
+    # partitions — a no-op once the input is genuinely multi-partition.
+    from ..sources.tables import spread_scan
+
+    fp = spread_scan(
+        docs.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     ).select(F.col(id_col).alias("id"), simhash64_udf()(F.col(text_col)).alias("fp"))
     chunks = fp.select(
         "id",
@@ -662,53 +677,70 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select("id", "fp", "c.chunk_idx", "c.chunk")
-    # the 8-byte fingerprint rides along into the bucket groupBy, so the
+    # the 8-byte fingerprint rides along into the bucket rows, so the
     # hamming verify is an inline expression — no join back to the corpus.
-    # The window cap (same partitioning, no extra exchange) bounds the
-    # aggregation buffer; what happens ABOVE the cap is the `overflow`
-    # policy (join = full pigeonhole recall, drop = round-2 behavior).
+    #
+    # Pair generation (round 8): a 2-D SALTED self-join replaces the
+    # round-3..7 collect_list + in-place-combinations shape.  The old
+    # shape generated each bucket's O(n²) pairs inside ONE task (the
+    # explode of one aggregated row never redistributes), and the
+    # over-cap self-join had the same disease — a hot (chunk_idx, chunk)
+    # key's quadratic pair work is invisible to AQE's byte-based skew
+    # detector (a 5k-member bucket is ~100 KB of rows but 12.3M hamming
+    # evaluations; measured at sf1: 54M candidate pairs concentrated in
+    # a handful of tasks = 21 s of stragglers).  Salting (guide §2.5)
+    # bounds per-task work instead: each member gets a group id
+    # ``g = xxhash64(id) % ns`` with ``ns = ceil(bucket_size /
+    # salt_target)``; the left side replicates each row over all g2, the
+    # right side over all g1, and the join key (chunk_idx, chunk, g1,
+    # g2) meets every unordered pair exactly once at (g(a), g(b)) —
+    # per-key work is ≤ salt_target² hamming evaluations no matter how
+    # degenerate the bucket.  Replication is ns× per side (ns = 1, i.e.
+    # free, for every bucket ≤ salt_target).  Same pair set, same
+    # output: the i<j ordering comes from the id_a < id_b predicate the
+    # over-cap path always used.
     from pyspark.sql import Window
 
     cap = max_bucket_size if max_bucket_size is not None else 2_147_483_647
     chunk_w = Window.partitionBy("chunk_idx", "chunk")
-    sized = chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w))
-    if overflow == "join" and max_bucket_size is not None:
-        # the overflow branch references `sized` three times (bucket path
-        # + both self-join sides) — without materialization Catalyst
-        # re-evaluates the scan + fingerprint UDF per reference (3 full
-        # passes).  A LAZY local checkpoint computes it once on first
-        # action and serves the other references from executor storage.
-        sized = sized.localCheckpoint(eager=False)
-    buckets = (
-        sized.where((F.col("_bs") >= 2) & (F.col("_bs") <= cap))
-        .groupBy("chunk_idx", "chunk")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "fp"))).alias("members"))
+    sized = chunks.withColumn("_bs", F.count(F.lit(1)).over(chunk_w)).where(
+        F.col("_bs") >= 2
     )
+    if overflow == "drop" and max_bucket_size is not None:
+        # round-2 lossy behavior: over-cap buckets vanish entirely
+        sized = sized.where(F.col("_bs") <= cap)
+    salt_target = 256
+    sized = sized.withColumn(
+        "_ns", F.ceil(F.col("_bs") / F.lit(salt_target)).cast("int")
+    )
+    # referenced twice (both join sides) — without materialization
+    # Catalyst re-evaluates the scan + fingerprint UDF + window per
+    # reference.  A LAZY local checkpoint computes it once on first
+    # action and serves the other reference from executor storage.
+    sized = sized.localCheckpoint(eager=False)
+    grp = F.pmod(F.xxhash64(F.col("id")), F.col("_ns")).cast("int")
+    fan = F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+    left = sized.select(
+        "chunk_idx", "chunk", "id", "fp", grp.alias("_g1"), fan.alias("_g2")
+    )
+    right = sized.select(
+        "chunk_idx", "chunk", "id", "fp", fan.alias("_g1"), grp.alias("_g2")
+    )
+    # SHUFFLE_HASH hint: both sides are narrow post-shuffle partitions of
+    # known-bounded size; the sort-merge default pays a per-pair buffered
+    # row copy on the quadratic in-key emission (an HOF-array variant
+    # that filters before emission was measured SLOWER — interpreted
+    # lambda ≈ join-row cost — and is documented in OPTIMIZATION_r08.md)
     pairs = (
-        buckets.select(F.explode(_pair_combinations(F.col("members"))).alias("p"))
+        left.alias("a")
+        .join(right.alias("b").hint("SHUFFLE_HASH"), ["chunk_idx", "chunk", "_g1", "_g2"])
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col("p.id_a.id").alias("id_a"),
-            F.col("p.id_b.id").alias("id_b"),
-            F.bit_count(F.col("p.id_a.fp").bitwiseXOR(F.col("p.id_b.fp"))).alias(
-                "hamming"
-            ),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
     )
-    if overflow == "join" and max_bucket_size is not None:
-        # over-cap buckets: shuffle self-join — no per-group buffer, and
-        # AQE skew-join splits the hot (chunk_idx, chunk) partitions
-        over = sized.where(F.col("_bs") > cap).select("chunk_idx", "chunk", "id", "fp")
-        over_pairs = (
-            over.alias("a")
-            .join(over.alias("b"), ["chunk_idx", "chunk"])
-            .where(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-            )
-        )
-        pairs = pairs.unionByName(over_pairs)
     return pairs.where(
         (F.col("hamming") <= max_hamming) & (F.col("id_a") != F.col("id_b"))
     ).distinct()

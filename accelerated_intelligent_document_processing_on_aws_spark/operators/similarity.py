@@ -52,17 +52,34 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Exact top-k neighbors: broadcast(queries) × corpus → cosine →
-    windowed top-k.  One shuffle (the window on query_id)."""
+    windowed top-k.  One shuffle (the window on query_id).
+
+    Round-8 shape (same values): the L2 norms are evaluated ONCE PER
+    ROW on each side before the crossJoin instead of once per
+    (query, candidate) pair — ``l2_norm`` is the identical sequential
+    aggregate over the identical array, and IEEE multiplication is
+    commutative, so ``dot/(nq*nv)`` is bit-equal to the inline
+    ``cosine_sim`` — and the corpus side is spread off its 1-2
+    scan partitions so the |corpus|×|queries| HOF arithmetic uses
+    every core (guide §2.5; no-op for multi-partition input)."""
+    from ..functions.vectors import _dot, l2_norm
+    from ..sources.tables import spread_scan
+
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
-        )
+        ).withColumn("_nq", l2_norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    c = spread_scan(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    ).withColumn("_nv", l2_norm(F.col("v")))
+    denom = F.col("_nq") * F.col("_nv")
     scored = c.crossJoin(q).select(
         "query_id",
         "vec_id",
-        cosine_sim(F.col("qv"), F.col("v")).alias("cosine"),
+        F.when(denom > 0, _dot(F.col("qv"), F.col("v")) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine"),
     )
     return _topk_by_query(scored, k)
 
@@ -143,8 +160,10 @@ def lsh_topk(
     # on the composite key — one pass over the corpus regardless of
     # n_tables (round 1 ran n_tables separate broadcast joins, each
     # re-planning the corpus scan + bucket UDF)
-    ce = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    from ..sources.tables import spread_scan
+
+    ce = spread_scan(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     ).select("vec_id", "v", F.posexplode(buckets(F.col("v"))).alias("table_idx", "bucket"))
     qe = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")

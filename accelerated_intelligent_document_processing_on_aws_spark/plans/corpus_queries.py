@@ -169,15 +169,46 @@ def semantic_cosine_eval(spark, sf_dir):
     """,
 )
 def fuzzy_levenshtein_pairs(spark, sf_dir):
+    """Round-8 shape (same rows): the blocked self-join fans one part
+    row out to ~|size group| pairs, so (a) the normalization regexes
+    are evaluated ONCE PER ROW before the join instead of once per
+    pair (guide §2.3 "project before the exchange" — at sf1 the
+    per-pair form ran 2×80M regex normalizations; per-row is 2×200k),
+    and (b) the probe side is spread off its single-row-group scan
+    partition so the 80M-pair fan-out runs on every core instead of
+    one (guide §2.5 — the broadcast-hash probe side inherits scan
+    parallelism, and a 1.6 MB single-row-group file scans as ONE
+    task).  The per-pair expression is the same piecewise definition
+    ``fuzzy_score`` evaluates, computed from the per-row normalized
+    columns, so the result is bit-identical."""
+    from ..functions.normalize import norm_text
+    from ..sources.tables import spread_scan
+
     p = _t(spark, sf_dir, "part")
-    a = p.alias("a").where(F.col("p_partkey") % 5 == 0)
-    b = p.alias("b")
+    base = p.select(
+        "p_partkey",
+        "p_size",
+        F.coalesce(norm_text(F.col("p_name")), F.lit("")).alias("_n"),
+        (F.col("p_name").isNull() | (F.trim(F.col("p_name")) == "")).alias("_e"),
+    )
+    # build side pinned to b: the planner would otherwise broadcast the
+    # smaller (filtered) a side and probe b's single scan partition
+    a = spread_scan(base.where(F.col("p_partkey") % 5 == 0)).alias("a")
+    b = F.broadcast(base.alias("b"))
+    la, lb = F.length(F.col("a._n")), F.length(F.col("b._n"))
+    fuzzy = (
+        F.when(F.col("a._e") & F.col("b._e"), F.lit(1.0))
+        .when((la == 0) | (lb == 0), F.lit(0.0))
+        .otherwise(
+            1.0 - F.levenshtein(F.col("a._n"), F.col("b._n")) / F.greatest(la, lb)
+        )
+    )
     return (
         a.join(b, (F.col("a.p_size") == F.col("b.p_size")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
         .select(
             F.col("a.p_partkey").alias("key_a"),
             F.col("b.p_partkey").alias("key_b"),
-            F.round(ev.fuzzy_score(F.col("a.p_name"), F.col("b.p_name")), 4).alias("fuzzy"),
+            F.round(fuzzy, 4).alias("fuzzy"),
         )
     )
 

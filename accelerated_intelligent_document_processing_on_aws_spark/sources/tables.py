@@ -34,6 +34,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_scan(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Round-robin repartition of an UNDER-partitioned input up to the
+    session's default parallelism (× ``multiple``).
+
+    Single-row-group parquet files are unsplittable below file level, so
+    a small fixture table scans as 1-2 partitions no matter what
+    ``spark.sql.files.maxPartitionBytes`` says — and any CPU-heavy work
+    (signature kernels, pair-generating joins, HOF cosine math) chained
+    onto that scan runs nearly serial (round-8 measurement: the sf1
+    ``part`` self-join generated 80M candidate pairs inside ONE task).
+    This helper is the scale-adaptive fix the optimization guide asks
+    for (§2: derive partitioning from the input, don't pin constants):
+    when the input already carries >= target partitions — the normal
+    case for a real multi-file table at cluster scale — it is a NO-OP
+    and adds no exchange; only a degenerate under-split scan pays one
+    narrow shuffle to unlock the cores.  Round-robin ``repartition(n)``
+    keeps AQE from re-coalescing (user-specified partition counts are
+    preserved; only ENSURE_REQUIREMENTS shuffles coalesce)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for Spark SQL plans."""
     for t in TESTDATA_TABLES:
