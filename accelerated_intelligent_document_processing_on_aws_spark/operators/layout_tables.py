@@ -236,6 +236,12 @@ def synth_layout_payloads(
         ),
         lambda s: s["x"],
     )
-    return ids.select(
+    # spread_scan (round 8): the nested-HOF payload assembly (and the
+    # from_json lift that consumes it) inherit scan parallelism;
+    # single-row-group fixture files scan as 1-2 partitions (no-op for
+    # genuinely multi-partition input)
+    from ..sources.tables import spread_scan
+
+    return spread_scan(ids).select(
         i.alias("media_id"), F.to_json(scrambled).alias("payload")
     )

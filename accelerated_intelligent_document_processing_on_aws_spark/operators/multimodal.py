@@ -59,11 +59,15 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     UTF-8 text bytes stand in for an opaque payload (real corpora carry
     image/audio bytes here; the plumbing is identical), modality cycles
     by doc_id.  Gives the multimodal path an oracle-checkable input."""
+    from ..sources.tables import spread_scan
+
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
-    return docs.select(
+    # spread_scan (round 8): downstream consumers run per-payload
+    # Python kernels; see synth_pgm_media
+    return spread_scan(docs).select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
         F.concat(modality, F.lit("/raw")).alias("mime"),
@@ -151,7 +155,12 @@ def synth_pgm_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(encode_pgm(((i * 31 + 7 * r + 13 * c) % 256).astype(np.uint8)))
         return pd.Series(out)
 
-    return ids.select(
+    from ..sources.tables import spread_scan
+
+    # spread_scan (round 8): the payload generator + downstream decode
+    # kernel inherit scan parallelism; single-row-group fixture files
+    # scan as 1-2 partitions (no-op for multi-partition input)
+    return spread_scan(ids).select(
         F.col(id_col).cast("long").alias("media_id"), _mk(F.col(id_col)).alias("payload")
     )
 
@@ -245,7 +254,12 @@ def synth_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.append(encode_wav_pcm16(samples, 8000))
         return pd.Series(out)
 
-    return ids.select(
+    from ..sources.tables import spread_scan
+
+    # spread_scan (round 8): the payload generator + downstream decode
+    # kernel inherit scan parallelism; single-row-group fixture files
+    # scan as 1-2 partitions (no-op for multi-partition input)
+    return spread_scan(ids).select(
         F.col(id_col).cast("long").alias("media_id"), _mk(F.col(id_col)).alias("payload")
     )
 

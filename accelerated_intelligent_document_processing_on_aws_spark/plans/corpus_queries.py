@@ -1400,7 +1400,16 @@ def duplicate_ngram_spans(spark, sf_dir):
     hashes.  At 10^12 turns the gram agg is the big one; it is a plain
     hash aggregate (map-side combine absorbs within-partition repeats),
     and the join input carries (gram, doc_id) only."""
-    docs = _t(spark, sf_dir, "documents")
+    from ..sources.tables import spread_scan
+
+    # round 8: (a) spread the scan — tokenize + gram assembly is the
+    # dominant cost and single-row-group fixture files scan as 1-2
+    # partitions; (b) the gram key is grouping-only (never output,
+    # never compared cross-engine), so an 8-byte xxhash64 replaces the
+    # 32-char md5 hex — 4x fewer key bytes through the window exchange
+    # and a cheaper hash (the exact_substring r7 drill precedent;
+    # counts are identical barring a ~2^-64-probability collision)
+    docs = spread_scan(_t(spark, sf_dir, "documents"))
     n = 5
     toks = docs.select(
         "doc_id",
@@ -1413,7 +1422,7 @@ def duplicate_ngram_spans(spark, sf_dir):
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("_t") - (n - 1)),
-                lambda i: F.md5(
+                lambda i: F.xxhash64(
                     F.concat_ws(" ", F.slice(F.col("_t"), i, n))
                 ),
             )

@@ -413,6 +413,16 @@ def run_versioned_extraction(
         drop_internal(extracted).write.mode("overwrite").partitionBy(
             "bucket_pt"
         ).parquet(os.path.join(out_dir, "data", f"v={sid_next}"))
+        # clear the wave's prior lineage partitions before the append
+        # (mirroring run_checkpointed_extraction): a wave RE-RUN —
+        # rollback_to_snapshot + resume, or a crash between this append
+        # and the manifest commit — must not duplicate lineage rows
+        # (r7 ADVICE: reproduced growing 24 → 36 rows).
+        for b in wave:
+            shutil.rmtree(
+                os.path.join(out_dir, "lineage", f"bucket={b}"),
+                ignore_errors=True,
+            )
         lin = lineage(extracted.drop("bucket_pt"), by=("bucket",))
         lin.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(out_dir, "lineage")
@@ -420,7 +430,13 @@ def run_versioned_extraction(
         extracted.unpersist()
         done.update(wave)
         for b in wave:
-            data[str(b)] = _data_loc(sid_next, b)
+            # record only locations partitionBy actually created — a
+            # bucket with zero rows writes no directory, and a dangling
+            # pointer makes every later read_snapshot raise (r7 ADVICE:
+            # reproduced with 2 conversations / n_buckets=16).  An
+            # unmapped bucket reads as empty, which is exactly right.
+            if os.path.isdir(os.path.join(out_dir, "data", _data_loc(sid_next, b))):
+                data[str(b)] = _data_loc(sid_next, b)
         manifest["done_buckets"] = sorted(done)
         manifest["data_locations"] = data
         _write_manifest(out_dir, manifest, operation=f"wave:{sorted(wave)}")
@@ -502,6 +518,15 @@ def delete_conversations_versioned(
         if dry_run:
             continue
         keep = df.where(~F.col("conv_id").isin(conv_ids))
+        if keep.limit(1).count() == 0:
+            # every row of the bucket was deleted: emit a mapping
+            # REMOVAL ({bucket: null} in the snapshot delta) instead of
+            # pointing at a freshly written empty directory —
+            # read_incremental over only that location would fail
+            # schema inference, and the mapping would keep a useless
+            # entry forever (r7 ADVICE).
+            data.pop(str(b), None)
+            continue
         keep.write.mode("overwrite").parquet(
             os.path.join(out_dir, "data", _data_loc(sid_next, b))
         )

@@ -22,7 +22,8 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
@@ -31,6 +32,30 @@ def get_spark(
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-split floor (round 8): a multi-row-group file under
+        # maxPartitionBytes × cores still splits into too few tasks for
+        # the kernel-on-scan-partitions paths (the 190 MB / 107-row-group
+        # bench corpus scanned as 12 tasks on 32 cores — the salt=0 and
+        # skew-aware extraction legs ran at 1/3 parallelism).  The floor
+        # is derived from the core count (3× — the round-2 sweep's kernel
+        # partition multiple), never a constant, so a cluster-scale scan
+        # with thousands of natural splits is untouched; single-row-group
+        # files keep their openCost floor (this knob cannot over-split
+        # tiny files).
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_SCAN_MIN_PARTITIONS", str(3 * cpus)),
+        )
+        # 1 MB open-cost (default 4 MB): with the floor above, split size
+        # is max(openCost, total/minPartitionNum) — the 4 MB default
+        # quantized the 190 MB corpus to 46 splits instead of ~96.  Local
+        # NVMe/tmpfs per-file open cost is microseconds; a cluster against
+        # object storage should raise this back (documented in
+        # OPTIMIZATION_r08.md).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_SCAN_OPEN_COST", str(1024 * 1024)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
