@@ -46,15 +46,18 @@ def get_spark(
             "spark.sql.files.minPartitionNum",
             os.environ.get("SPARK_SCAN_MIN_PARTITIONS", str(3 * cpus)),
         )
-        # 1 MB open-cost (default 4 MB): with the floor above, split size
+        # 2 MB open-cost (default 4 MB): with the floor above, split size
         # is max(openCost, total/minPartitionNum) — the 4 MB default
-        # quantized the 190 MB corpus to 46 splits instead of ~96.  Local
-        # NVMe/tmpfs per-file open cost is microseconds; a cluster against
-        # object storage should raise this back (documented in
-        # OPTIMIZATION_r08.md).
+        # quantized the 190 MB bench corpus to 46 splits instead of ~96.
+        # 2 MB keeps the corpus at ~95 splits while halving the empty
+        # byte-range splits the floor creates on small single-row-group
+        # files (a split only reads row groups whose midpoint lands in
+        # it).  Local NVMe/tmpfs per-file open cost is microseconds; a
+        # cluster against object storage should raise this back
+        # (documented in OPTIMIZATION_r08.md).
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_SCAN_OPEN_COST", str(1024 * 1024)),
+            os.environ.get("SPARK_SCAN_OPEN_COST", str(2 * 1024 * 1024)),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

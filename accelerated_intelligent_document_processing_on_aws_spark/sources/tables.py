@@ -31,27 +31,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    # round 8: the session-level scan-split floor
-    # (spark.sql.files.minPartitionNum, sources/session.py) exists for
-    # multi-row-group files; byte-range splits beyond a file's
-    # row-group count are EMPTY tasks (a split only reads row groups
-    # whose midpoint lands in it), and ~14 empty tasks per scan taxed
-    # every sub-second query ~0.1 s.  Coalescing back to the row-group
-    # count drops the empty splits without a shuffle and without
-    # touching files that genuinely split; compute-heavy consumers that
-    # need more parallelism than the file layout offers go through
-    # spread_scan, which repartitions explicitly.
-    try:
-        import pyarrow.parquet as pq
-
-        rg = pq.ParquetFile(path).metadata.num_row_groups
-    except Exception:
-        return df
-    if rg >= 1 and df.rdd.getNumPartitions() > rg:
-        df = df.coalesce(rg)
-    return df
+    # NOTE (round 8): do NOT "fix" the scan-split floor's empty splits
+    # on single-row-group files with a coalesce here.  coalesce(1)
+    # makes the scan's output partitioning SinglePartition, which
+    # SATISFIES any clustered-distribution requirement — Catalyst then
+    # ELIDES the downstream exchange and runs the entire
+    # window/aggregate single-task (measured: sections_bio_events
+    # 0.84 s → 2.49 s).  The empty splits themselves are parallel
+    # ~5 ms scheduler blips; the openCostInBytes=2 MB floor in
+    # sources/session.py bounds how many there are.
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def spread_scan(df: DataFrame, multiple: int = 1) -> DataFrame:
