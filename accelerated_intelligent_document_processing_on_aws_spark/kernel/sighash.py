@@ -182,9 +182,13 @@ def hash_strings(sa: pa.Array) -> np.ndarray:
             ss, ll = sel[lo:hi], ls[lo:hi]
             total = int(ll.sum())
             seg = np.concatenate(([0], np.cumsum(ll)[:-1]))
-            within = np.arange(total, dtype=np.int64) - np.repeat(seg, ll)
-            byte_pos = np.repeat(starts[ss], ll) + within
-            exps = np.repeat(ll, ll) - 1 - within
+            # one repeat + one shared arange instead of three repeats
+            # (round 8: np.repeat over flat-byte-sized arrays was ~40%
+            # of kernel time; byte_pos[k] = k + (start_i - seg_i),
+            # exps[k] = (seg_i + len_i - 1) - k for k in segment i)
+            flat = np.arange(total, dtype=np.int64)
+            byte_pos = flat + np.repeat(starts[ss] - seg, ll)
+            exps = np.repeat(seg + ll - 1, ll) - flat
             contrib = (data[byte_pos].astype(np.uint64) + np.uint64(1)) * pows[exps]
             raw[ss] = np.add.reduceat(contrib, seg)
             lo = hi
@@ -290,12 +294,18 @@ def _tokenize_hash_core(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     seg = data[lo:hi]
     # rows are [starts[i], ends[i]) byte ranges; bytes outside any row
     # (possible for sliced inputs) are forced to "whitespace" so no
-    # token can span a row boundary or garbage gap
-    delta = np.zeros(hi - lo + 1, np.int64)
-    np.add.at(delta, starts - lo, 1)
-    np.add.at(delta, ends - lo, -1)
-    inside = np.cumsum(delta[:-1]) > 0
-    nonws = inside & ~_whitespace_mask(seg)
+    # token can span a row boundary or garbage gap.  Fast path (round
+    # 8): a full combine_chunks batch has ADJACENT rows (each row ends
+    # where the next starts) — every byte in [lo, hi) is inside some
+    # row and the O(bytes) coverage cumsum is skipped.
+    if starts.size == 1 or bool(np.array_equal(starts[1:], ends[:-1])):
+        nonws = ~_whitespace_mask(seg)
+    else:
+        delta = np.zeros(hi - lo + 1, np.int64)
+        np.add.at(delta, starts - lo, 1)
+        np.add.at(delta, ends - lo, -1)
+        inside = np.cumsum(delta[:-1]) > 0
+        nonws = inside & ~_whitespace_mask(seg)
     # explicit row-start barriers: adjacent rows share a byte boundary
     # (end[i] == start[i+1]), so without these a token would run across
     # two rows whose bytes abut with no whitespace between them
@@ -326,8 +336,12 @@ def _tokenize_hash_core(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     total = int(tlens.sum())
     off64 = np.zeros(ntok + 1, np.int64)
     np.cumsum(tlens, out=off64[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(off64[:-1], tlens)
-    buf = seg[np.repeat(tok_start, tlens) + within]
+    # single repeat: source byte k of the flat token buffer sits at
+    # seg[k + (tok_start_i - off_i)] for k in token i's range
+    buf = seg[
+        np.arange(total, dtype=np.int64)
+        + np.repeat(tok_start - off64[:-1], tlens)
+    ]
     if total < (1 << 31):
         sa = pa.Array.from_buffers(
             pa.utf8(),
@@ -370,16 +384,21 @@ def gram_hashes_batch(
     out = np.empty(int(out_counts.sum()), np.uint64)
     total = th.size
     if total:
-        within = np.arange(total, dtype=np.int64) - np.repeat(starts_d, counts)
-        cnt_rep = np.repeat(counts, counts)
-        valid = (within <= cnt_rep - n) & (cnt_rep >= n)
-        idx = np.flatnonzero(valid)
+        # one threshold repeat instead of three row-sized repeats
+        # (round 8): token k of row i starts a gram iff
+        # k <= starts_d[i] + counts[i] - n — rows with counts < n give
+        # a threshold below their own start, so the (counts >= n)
+        # condition folds in for free.  Row ids of the (sorted)
+        # surviving indices come back via one searchsorted.
+        csum = starts_d + counts  # = row end offsets in token space
+        thresh = np.repeat(csum - n, counts)
+        idx = np.flatnonzero(np.arange(total, dtype=np.int64) <= thresh)
         if idx.size:
             acc = np.zeros(idx.size, np.uint64)
             for k in range(n):
                 acc = acc * P + th[idx + k]
-            rid_rep = np.repeat(np.arange(nrows, dtype=np.int64), counts)
-            out[out_starts[rid_rep[idx]] + within[idx]] = fmix64(acc)
+            rid = np.searchsorted(csum, idx, side="right")
+            out[out_starts[rid] + (idx - starts_d[rid])] = fmix64(acc)
     for c in range(1, n):
         rows = np.flatnonzero(counts == c)
         if rows.size:
