@@ -95,3 +95,26 @@ def test_full_bucket_delete_removes_mapping(spark, tmp_path):
     got = read_snapshot(spark, out)
     assert got.where(F.col("bucket") == 0).count() == 0
     assert got.count() == snap.count() - snap.where(F.col("bucket") == 0).count()
+
+
+def test_simhash_salted_join_covers_oversalt_buckets(spark):
+    """Round-8 pin for the 2-D salted pair join in simhash_pairs: a
+    bucket LARGER than the 256-member salt target (ns > 1, so both
+    sides genuinely fan out over group pairs) must still emit every
+    unordered pair exactly once.  600 identical docs → every chunk
+    bucket has 600 members, ns = 3; expect C(600,2) hamming-0 pairs
+    and no duplicates from the 8 chunk indexes or the 3×3 group grid."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators import (
+        dedup,
+    )
+
+    n = 600
+    docs = spark.createDataFrame(
+        [(i, "same exact tokens all the way down " * 3) for i in range(n)],
+        "doc_id int, text string",
+    )
+    out = dedup.simhash_pairs(docs, max_hamming=7).collect()
+    assert len(out) == n * (n - 1) // 2
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert len(pairs) == n * (n - 1) // 2  # exactly once each
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] == 0 for r in out)
